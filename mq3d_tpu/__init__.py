@@ -1,0 +1,29 @@
+"""mq3d_tpu — TPU-native Meta Quest 3D reconstruction framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+lszmer/metaquest-3d-reconstruction: stereo passthrough YUV images +
+per-frame raw depth + HMD poses -> TSDF volume -> textured mesh ->
+colored point cloud -> color-aligned depth -> COLMAP/FBX exports.
+
+Layering (mirrors reference SURVEY.md layer map, re-architected TPU-first):
+  geometry/  quaternion, SE(3), coordinate-system math (pure JAX)
+  models/    typed frame-table datasets + transforms (numpy pytrees, npz IO)
+  config/    YAML pipeline configs + project path layout
+  dataio/    project-directory filesystem facade (raw/PNG/npz/PLY)
+  ops/       TPU compute: YUV->RGB, depth, TSDF, marching cubes, raycast,
+             ICP, odometry, pose-graph LM (jit/vmap/Pallas)
+  recon/     pipeline stages: confidence, fragments, refinement, color opt
+  parallel/  multi-chip sharding (jax.sharding.Mesh + shard_map)
+  pipeline/  orchestration, caching/checkpoints, runtime accounting
+  export/    COLMAP binary model, PLY, OBJ/FBX interop
+  eval/      chamfer/F-score/quality-Q metrics, motion stats
+"""
+
+import jax as _jax
+
+# Pose/geometry math follows input dtype (float64 on host paths for parity
+# with the reference's numpy math). Hot device kernels pin float32/bfloat16
+# explicitly, so enabling x64 does not slow the TPU compute path.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
