@@ -1,0 +1,637 @@
+"""TSDF voxel-block grid: TPU-native re-design of Open3D's VoxelBlockGrid.
+
+The reference's #1 kernel is `VoxelBlockGrid.integrate` — a C++/CUDA
+hash-grid allocate-then-integrate loop run once per depth frame (reference:
+scripts/processing/reconstruction/utils/o3d_utils.py:153-238).  TPUs have no
+hash maps and hate per-frame dynamic shapes, so the design here is:
+
+  * a **dense block slot table** over a bounded world extent replaces the
+    hash map: block coord -> slot is a single array lookup, and allocation
+    is a commutative set-union (scatter-max + prefix-sum slot assignment);
+  * frames are fused in **chunks** (default 16) per device launch: block
+    allocation for the whole chunk is one dense pass, and integration is a
+    gather -> dense per-block compute -> scatter over the chunk's active
+    blocks (the gather-based formulation from SURVEY.md §7);
+  * the tsdf update is Open3D's running weighted average
+    tsdf' = (tsdf*w + obs)/(w+1), w' = w+1, which is an unweighted mean of
+    observations — commutative across frames, so chunking (and multi-chip
+    data-parallel fan-out with a final psum, see parallel/) is exact, not an
+    approximation.
+
+Attribute layout: (block_count, R^3) float32 for tsdf and weight, R=16 —
+R^3 = 4096 = 32x128, a natively tileable TPU shape.
+
+Semantics matched to Open3D 0.19 (for artifact parity):
+  * voxel world position = (block_coord * R + voxel_idx) * voxel_size
+  * nearest-pixel depth lookup, obs valid iff depth in (0, depth_max],
+    z > 0, sdf = depth - z >= -trunc; stored tsdf = min(sdf, trunc)/trunc
+  * block allocation marks all blocks overlapping the +-trunc AABB around
+    each unprojected depth sample (o3d's DepthTouch)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mq3d_tpu.dataio.ply import PointCloud, TriangleMesh
+from mq3d_tpu.ops.mc_tables import build_tables
+
+
+@dataclasses.dataclass(frozen=True)
+class TSDFConfig:
+    voxel_size: float = 0.01
+    block_resolution: int = 16
+    block_count: int = 50_000
+    grid_dim: int = 160  # dense slot-table extent (blocks/axis), world-centered
+    depth_max: float = 4.0
+    trunc_voxel_multiplier: float = 10.0
+    alloc_pixel_stride: int = 2  # pixel subsampling for block allocation
+    chunk_active_capacity: int = 12_288  # max blocks touched per chunk
+    integrate_tile: int = 512  # blocks per integration tile (VMEM working set)
+
+    @property
+    def trunc(self) -> float:
+        return self.voxel_size * self.trunc_voxel_multiplier
+
+    @property
+    def block_size(self) -> float:
+        return self.voxel_size * self.block_resolution
+
+    @property
+    def r3(self) -> int:
+        return self.block_resolution ** 3
+
+
+class TSDFState(NamedTuple):
+    """Device-resident pytree. Arrays have one sentinel row at index
+    `block_count` that absorbs out-of-capacity reads/writes."""
+
+    slot_table: jnp.ndarray  # (grid_dim^3,) int32, -1 = unallocated
+    block_coords: jnp.ndarray  # (block_count+1, 3) int32
+    tsdf: jnp.ndarray  # (block_count+1, R^3) float32
+    weight: jnp.ndarray  # (block_count+1, R^3) float32
+    n_active: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # () int32: dropped block allocations
+
+
+def create_state(cfg: TSDFConfig) -> TSDFState:
+    g3 = cfg.grid_dim ** 3
+    return TSDFState(
+        slot_table=jnp.full((g3,), -1, dtype=jnp.int32),
+        block_coords=jnp.zeros((cfg.block_count + 1, 3), dtype=jnp.int32),
+        tsdf=jnp.zeros((cfg.block_count + 1, cfg.r3), dtype=jnp.float32),
+        weight=jnp.zeros((cfg.block_count + 1, cfg.r3), dtype=jnp.float32),
+        n_active=jnp.zeros((), dtype=jnp.int32),
+        overflow=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _voxel_offsets(R: int) -> np.ndarray:
+    """(R^3, 3) local voxel integer offsets, x-major to match flat index
+    flat = x*R^2 + y*R + z."""
+    idx = np.arange(R ** 3)
+    x = idx // (R * R)
+    y = (idx // R) % R
+    z = idx % R
+    return np.stack([x, y, z], axis=-1).astype(np.int32)
+
+
+def _block_keys(coords, G: int):
+    """Block coords in [-G/2, G/2)^3 -> linear key in [0, G^3); out-of-range
+    -> sentinel G^3."""
+    h = G // 2
+    shifted = coords + h
+    in_range = jnp.all((shifted >= 0) & (shifted < G), axis=-1)
+    key = (shifted[..., 0] * G + shifted[..., 1]) * G + shifted[..., 2]
+    return jnp.where(in_range, key, G ** 3).astype(jnp.int32)
+
+
+def _keys_to_coords(keys, G: int):
+    h = G // 2
+    x = keys // (G * G) - h
+    y = (keys // G) % G - h
+    z = keys % G - h
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def integrate_chunk(
+    cfg: TSDFConfig,
+    state: TSDFState,
+    depth: jnp.ndarray,  # (C, H, W) float32 metric depth, 0 = invalid
+    intrinsics: jnp.ndarray,  # (C, 3, 3) float32 (cx already mirror-flipped)
+    extrinsics_wc: jnp.ndarray,  # (C, 4, 4) float32 world-to-camera
+    frame_valid: jnp.ndarray,  # (C,) bool
+) -> TSDFState:
+    """Fuse a chunk of depth frames into the volume in one launch."""
+    C, H, W = depth.shape
+    G = cfg.grid_dim
+    R = cfg.block_resolution
+    cap = cfg.block_count
+
+    depth = depth.astype(jnp.float32)
+    fx = intrinsics[:, 0, 0][:, None, None]
+    fy = intrinsics[:, 1, 1][:, None, None]
+    cx = intrinsics[:, 0, 2][:, None, None]
+    cy = intrinsics[:, 1, 2][:, None, None]
+
+    T_cw = jnp.linalg.inv(extrinsics_wc.astype(jnp.float32))  # camera-to-world
+
+    # ---- Phase A: allocation (chunk-level set union) -----------------------
+    ds = cfg.alloc_pixel_stride
+    d_sub = depth[:, ::ds, ::ds]
+    hs, ws = d_sub.shape[1], d_sub.shape[2]
+    u = (jnp.arange(0, W, ds, dtype=jnp.float32))[None, None, :]
+    v = (jnp.arange(0, H, ds, dtype=jnp.float32))[None, :, None]
+    valid_px = (d_sub > 0) & (d_sub <= cfg.depth_max) & frame_valid[:, None, None]
+
+    xr = (u - cx) / fx
+    yr = (v - cy) / fy
+    pc = jnp.stack(
+        [xr * d_sub, yr * d_sub, d_sub], axis=-1
+    )  # (C, hs, ws, 3) camera-frame points
+    Rcw = T_cw[:, :3, :3]
+    tcw = T_cw[:, :3, 3]
+    pw = jnp.einsum("cij,chwj->chwi", Rcw, pc) + tcw[:, None, None, :]
+
+    # Blocks overlapping the +-trunc cube around each sample: 27 offsets.
+    offs = jnp.asarray(
+        np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1)
+        .reshape(-1, 3)
+        .astype(np.float32)
+        * cfg.trunc
+    )
+    cand = pw[:, :, :, None, :] + offs[None, None, None, :, :]
+    bcoord = jnp.floor(cand / cfg.block_size).astype(jnp.int32)
+    keys = _block_keys(bcoord, G)  # (C, hs, ws, 27)
+    keys = jnp.where(valid_px[..., None], keys, G ** 3)
+
+    # Per-frame touch sets: Open3D integrates a block against frame f only
+    # when f's depth touches it (allocate-then-integrate per frame,
+    # o3d_utils.py:212-229).  Gating on per-frame touch bits reproduces that
+    # exactly AND makes chunked integration bit-identical to per-frame.
+    frame_offsets = (jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1))[:, None, None, None]
+    flat_keys = (keys + frame_offsets).reshape(-1)
+    frame_touched = (
+        jnp.zeros((C * (G ** 3 + 1),), jnp.uint8).at[flat_keys].max(jnp.uint8(1))
+    )
+    touched = jnp.max(frame_touched.reshape(C, G ** 3 + 1), axis=0)[: G ** 3].astype(
+        jnp.int32
+    )
+
+    new_mask = (touched > 0) & (state.slot_table < 0)
+    ranks = jnp.cumsum(new_mask.astype(jnp.int32))
+    total_new = ranks[-1]
+    slot_for_new = state.n_active + ranks - 1
+    can_fit = slot_for_new < cap
+
+    slot_table = jnp.where(new_mask & can_fit, slot_for_new, state.slot_table)
+
+    grid_keys = jnp.arange(G ** 3, dtype=jnp.int32)
+    coords_all = _keys_to_coords(grid_keys, G)
+    scatter_idx = jnp.where(new_mask & can_fit, slot_for_new, cap)
+    block_coords = state.block_coords.at[scatter_idx].set(coords_all, mode="drop")
+
+    n_active = jnp.minimum(state.n_active + total_new, cap)
+    overflow = state.overflow + jnp.maximum(state.n_active + total_new - cap, 0)
+
+    # ---- Chunk active block list (fixed capacity) ---------------------------
+    M = cfg.chunk_active_capacity
+    active_mask = (touched > 0) & (slot_table >= 0)
+    rank2 = jnp.cumsum(active_mask.astype(jnp.int32))
+    list_idx = jnp.where(active_mask & (rank2 <= M), rank2 - 1, M)
+    active_slots = (
+        jnp.full((M + 1,), cap, dtype=jnp.int32).at[list_idx].set(slot_table, mode="drop")
+    )[:M]
+
+    # ---- Phase B: gather -> integrate -> scatter, tiled over blocks ---------
+    voxel_offs = jnp.asarray(_voxel_offsets(R))  # (R^3, 3)
+    Rwc = extrinsics_wc[:, :3, :3].astype(jnp.float32)
+    twc = extrinsics_wc[:, :3, 3].astype(jnp.float32)
+    inv_trunc = jnp.float32(1.0 / cfg.trunc)
+
+    TM = cfg.integrate_tile
+    n_tiles = (M + TM - 1) // TM
+
+    def tile_body(t, carry):
+        tsdf_arr, weight_arr = carry
+        slots = jax.lax.dynamic_slice(active_slots, (t * TM,), (TM,))
+        slot_ok = slots < cap
+        bc = block_coords[jnp.minimum(slots, cap)]  # (TM, 3)
+
+        # Per-frame touch bits for this tile's blocks: (TM, C).
+        tile_keys = _block_keys(bc, G)
+        touch_bits = frame_touched[
+            tile_keys[:, None] + (jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1))[None, :]
+        ]
+
+        base = (bc * R)[:, None, :] + voxel_offs[None, :, :]  # (TM, R^3, 3)
+        p = base.astype(jnp.float32) * cfg.voxel_size
+
+        def frame_body(f, acc):
+            s, cnt = acc
+            pc = jnp.einsum("ij,tvj->tvi", Rwc[f], p) + twc[f]
+            z = pc[..., 2]
+            safe_z = jnp.where(z > 0, z, 1.0)
+            uu = intrinsics[f, 0, 0] * pc[..., 0] / safe_z + intrinsics[f, 0, 2]
+            vv = intrinsics[f, 1, 1] * pc[..., 1] / safe_z + intrinsics[f, 1, 2]
+            ui = jnp.floor(uu + 0.5).astype(jnp.int32)
+            vi = jnp.floor(vv + 0.5).astype(jnp.int32)
+            in_img = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
+            flat = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+            d = depth[f].reshape(-1)[flat]
+            ok = (
+                in_img
+                & (d > 0)
+                & (d <= cfg.depth_max)
+                & frame_valid[f]
+                & (touch_bits[:, f] > 0)[:, None]
+            )
+            sdf = d - z
+            ok &= sdf >= -cfg.trunc
+            obs = jnp.minimum(sdf, cfg.trunc) * inv_trunc
+            s = s + jnp.where(ok, obs, 0.0)
+            cnt = cnt + ok.astype(jnp.float32)
+            return (s, cnt)
+
+        s0 = jnp.zeros((TM, cfg.r3), jnp.float32)
+        c0 = jnp.zeros((TM, cfg.r3), jnp.float32)
+        s, cnt = jax.lax.fori_loop(0, C, frame_body, (s0, c0))
+
+        slots_safe = jnp.where(slot_ok, slots, cap)
+        t_old = tsdf_arr[slots_safe]
+        w_old = weight_arr[slots_safe]
+        new_w = w_old + cnt
+        new_t = jnp.where(cnt > 0, (t_old * w_old + s) / jnp.maximum(new_w, 1.0), t_old)
+        tsdf_arr = tsdf_arr.at[slots_safe].set(jnp.where(slot_ok[:, None], new_t, 0.0))
+        weight_arr = weight_arr.at[slots_safe].set(
+            jnp.where(slot_ok[:, None], new_w, 0.0)
+        )
+        return (tsdf_arr, weight_arr)
+
+    tsdf_arr, weight_arr = jax.lax.fori_loop(
+        0, n_tiles, tile_body, (state.tsdf, state.weight)
+    )
+    # Keep the sentinel row zeroed.
+    tsdf_arr = tsdf_arr.at[cap].set(0.0)
+    weight_arr = weight_arr.at[cap].set(0.0)
+
+    return TSDFState(
+        slot_table=slot_table,
+        block_coords=block_coords,
+        tsdf=tsdf_arr,
+        weight=weight_arr,
+        n_active=n_active,
+        overflow=overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side volume wrapper with persistence + extraction
+# ---------------------------------------------------------------------------
+
+
+class TSDFVolume:
+    """Host handle around (TSDFConfig, TSDFState) with save/load/extraction.
+
+    npz schema (reconstruction/colorless_vbg.npz):
+      block_coords (N,3) i32, tsdf (N,R^3) f32, weight (N,R^3) f32,
+      voxel_size f64, block_resolution i64, grid_dim i64, depth_max f64,
+      trunc_voxel_multiplier f64
+    """
+
+    def __init__(self, cfg: TSDFConfig, state: Optional[TSDFState] = None):
+        self.cfg = cfg
+        self.state = state if state is not None else create_state(cfg)
+
+    # -- integration ------------------------------------------------------------
+
+    def integrate(self, depth, intrinsics, extrinsics_wc, frame_valid=None):
+        """Fuse a (C, H, W) chunk. Arrays are host numpy or jax."""
+        c = depth.shape[0]
+        if frame_valid is None:
+            frame_valid = np.ones(c, dtype=bool)
+        self.state = integrate_chunk(
+            self.cfg,
+            self.state,
+            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32),
+            jnp.asarray(extrinsics_wc, jnp.float32),
+            jnp.asarray(frame_valid),
+        )
+        return self
+
+    @property
+    def n_active(self) -> int:
+        return int(self.state.n_active)
+
+    # -- persistence ---------------------------------------------------------------
+
+    def save(self, path: Path):
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        n = self.n_active
+        np.savez_compressed(
+            path,
+            block_coords=np.asarray(self.state.block_coords[:n]),
+            tsdf=np.asarray(self.state.tsdf[:n]),
+            weight=np.asarray(self.state.weight[:n]),
+            voxel_size=self.cfg.voxel_size,
+            block_resolution=self.cfg.block_resolution,
+            grid_dim=self.cfg.grid_dim,
+            depth_max=self.cfg.depth_max,
+            trunc_voxel_multiplier=self.cfg.trunc_voxel_multiplier,
+        )
+
+    @classmethod
+    def load(cls, path: Path) -> "TSDFVolume":
+        data = np.load(path)
+        R = int(data["block_resolution"])
+        cfg = TSDFConfig(
+            voxel_size=float(data["voxel_size"]),
+            block_resolution=R,
+            block_count=max(int(data["block_coords"].shape[0]), 1),
+            grid_dim=int(data["grid_dim"]),
+            depth_max=float(data["depth_max"]),
+            trunc_voxel_multiplier=float(data["trunc_voxel_multiplier"]),
+        )
+        vol = cls(cfg)
+        n = data["block_coords"].shape[0]
+        G = cfg.grid_dim
+        coords = data["block_coords"]
+        h = G // 2
+        keys = ((coords[:, 0] + h) * G + coords[:, 1] + h) * G + coords[:, 2] + h
+        slot_table = np.full((G ** 3,), -1, np.int32)
+        slot_table[keys] = np.arange(n, dtype=np.int32)
+        state = create_state(cfg)
+        vol.state = TSDFState(
+            slot_table=jnp.asarray(slot_table),
+            block_coords=jnp.asarray(
+                np.concatenate([coords, np.zeros((1, 3), np.int32)])
+            ),
+            tsdf=jnp.asarray(
+                np.concatenate([data["tsdf"], np.zeros((1, cfg.r3), np.float32)])
+            ),
+            weight=jnp.asarray(
+                np.concatenate([data["weight"], np.zeros((1, cfg.r3), np.float32)])
+            ),
+            n_active=jnp.asarray(n, jnp.int32),
+            overflow=jnp.zeros((), jnp.int32),
+        )
+        return vol
+
+    # -- host views ---------------------------------------------------------------------
+
+    def _host_fields(self):
+        n = self.n_active
+        R = self.cfg.block_resolution
+        coords = np.asarray(self.state.block_coords[:n])
+        tsdf = np.asarray(self.state.tsdf[:n]).reshape(n, R, R, R)
+        weight = np.asarray(self.state.weight[:n]).reshape(n, R, R, R)
+        slot_table = np.asarray(self.state.slot_table)
+        return coords, tsdf, weight, slot_table
+
+    def _extended_fields(self, weight_threshold: float):
+        """(n, R+1, R+1, R+1) tsdf/valid fields with +1 voxel margins gathered
+        from the 7 positive-neighbor blocks."""
+        cfg = self.cfg
+        R = cfg.block_resolution
+        G = cfg.grid_dim
+        coords, tsdf, weight, slot_table = self._host_fields()
+        n = len(coords)
+
+        ext_t = np.zeros((n, R + 1, R + 1, R + 1), np.float32)
+        ext_v = np.zeros((n, R + 1, R + 1, R + 1), bool)
+        ext_t[:, :R, :R, :R] = tsdf
+        ext_v[:, :R, :R, :R] = weight > weight_threshold
+
+        h = G // 2
+
+        def slots_of(nb_coords):
+            shifted = nb_coords + h
+            ok = np.all((shifted >= 0) & (shifted < G), axis=-1)
+            key = (shifted[:, 0] * G + shifted[:, 1]) * G + shifted[:, 2]
+            s = np.where(ok, slot_table[np.clip(key, 0, G ** 3 - 1)], -1)
+            return s
+
+        for off in [
+            (1, 0, 0), (0, 1, 0), (0, 0, 1),
+            (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+        ]:
+            nb = slots_of(coords + np.asarray(off, np.int32))
+            has = nb >= 0
+            src = np.clip(nb, 0, max(n - 1, 0))
+            # Region in ext to fill and region in neighbor to read.
+            dst = tuple(
+                slice(R, R + 1) if o else slice(0, R) for o in off
+            )
+            srcreg = tuple(slice(0, 1) if o else slice(0, R) for o in off)
+            t_nb = tsdf[src][(slice(None),) + srcreg]
+            v_nb = (weight[src][(slice(None),) + srcreg]) > weight_threshold
+            ext_t[(slice(None),) + dst] = np.where(has[:, None, None, None], t_nb, 0.0)
+            ext_v[(slice(None),) + dst] = v_nb & has[:, None, None, None]
+        return coords, ext_t, ext_v
+
+    def extract_point_cloud(self, weight_threshold: float = 3.0) -> PointCloud:
+        """Surface points at tsdf zero crossings along +x/+y/+z voxel edges
+        (Open3D VBG.extract_point_cloud semantics)."""
+        cfg = self.cfg
+        R = cfg.block_resolution
+        if self.n_active == 0:
+            return PointCloud(points=np.zeros((0, 3)))
+        coords, ext_t, ext_v = self._extended_fields(weight_threshold)
+
+        base = coords[:, None, None, None, :] * R + np.stack(
+            np.meshgrid(np.arange(R), np.arange(R), np.arange(R), indexing="ij"), -1
+        )[None]
+        t0 = ext_t[:, :R, :R, :R]
+        v0 = ext_v[:, :R, :R, :R]
+
+        pts, nrms = [], []
+        for axis in range(3):
+            sl = [slice(0, R)] * 3
+            sl[axis] = slice(1, R + 1)
+            t1 = ext_t[(slice(None),) + tuple(sl)]
+            v1 = ext_v[(slice(None),) + tuple(sl)]
+            cross = v0 & v1 & (t0 * t1 < 0)
+            if not cross.any():
+                continue
+            idx = np.nonzero(cross)
+            a = t0[idx]
+            b = t1[idx]
+            frac = a / (a - b)
+            p = base[idx].astype(np.float64)
+            p[:, axis] += frac
+            pts.append(p * cfg.voxel_size)
+            # Normal from tsdf gradient (sign: outward = increasing tsdf).
+            nrms.append(_gradient_normals(ext_t, idx, axis, frac))
+        if not pts:
+            return PointCloud(points=np.zeros((0, 3)))
+        points = np.concatenate(pts)
+        normals = np.concatenate(nrms)
+        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = normals / np.maximum(norm, 1e-12)
+        return PointCloud(points=points, normals=normals)
+
+    def extract_triangle_mesh(
+        self, weight_threshold: float = 3.0, estimated_vertex_number: int = -1
+    ) -> TriangleMesh:
+        """Marching cubes over valid voxels with lattice-edge-keyed vertex
+        welding (crack-free across block boundaries)."""
+        del estimated_vertex_number  # capacity hint irrelevant here
+        cfg = self.cfg
+        R = cfg.block_resolution
+        if self.n_active == 0:
+            return TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        tri_table, _ = build_tables()
+        coords, ext_t, ext_v = self._extended_fields(weight_threshold)
+        n = len(coords)
+
+        # Corner values per cube: corner k at offset CORNERS[k].
+        from mq3d_tpu.ops.mc_tables import CORNERS, EDGES, edge_owner
+
+        corner_t = np.empty((n, R, R, R, 8), np.float32)
+        corner_v = np.empty((n, R, R, R, 8), bool)
+        for k in range(8):
+            dx, dy, dz = CORNERS[k]
+            corner_t[..., k] = ext_t[:, dx : dx + R, dy : dy + R, dz : dz + R]
+            corner_v[..., k] = ext_v[:, dx : dx + R, dy : dy + R, dz : dz + R]
+
+        cube_ok = corner_v.all(axis=-1)
+        config = np.zeros((n, R, R, R), np.int32)
+        for k in range(8):
+            config |= (corner_t[..., k] < 0).astype(np.int32) << k
+        config = np.where(cube_ok, config, 0)
+
+        active = np.nonzero((config != 0) & (config != 255))
+        if len(active[0]) == 0:
+            return TriangleMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+        cfgs = config[active]  # (A,)
+        tri_edges = tri_table[cfgs]  # (A, 16), -1 padded
+
+        # Global lattice coords of each active cube's origin voxel.
+        cube_g = coords[active[0]] * R + np.stack(active[1:], -1)  # (A, 3)
+
+        owner = edge_owner()  # (12, 4): start offset + axis
+
+        # Emit triangles: (A, 5, 3) edge ids -> flattened valid triangles.
+        te = tri_edges[:, :15].reshape(-1, 5, 3)
+        valid_tri = te[..., 0] >= 0  # (A, 5)
+        A = len(cfgs)
+        cube_idx = np.repeat(np.arange(A), 5).reshape(A, 5)
+        tsel = np.nonzero(valid_tri)
+        tri_e = te[tsel]  # (T, 3) edge ids in cube-local numbering
+        tri_cube = cube_idx[tsel]  # (T,)
+
+        # Vertex keys: lattice edge = (gx, gy, gz, axis) of the edge start.
+        g = cube_g[tri_cube][:, None, :] + owner[tri_e][..., :3]  # (T, 3v, 3)
+        axes = owner[tri_e][..., 3]  # (T, 3)
+        OFF = 1 << 14
+        key = (
+            ((g[..., 0] + OFF).astype(np.int64) << 34)
+            | ((g[..., 1] + OFF).astype(np.int64) << 19)
+            | ((g[..., 2] + OFF).astype(np.int64) << 4)
+            | axes.astype(np.int64)
+        )  # (T, 3)
+
+        uniq, inverse = np.unique(key.reshape(-1), return_inverse=True)
+        triangles = inverse.reshape(-1, 3).astype(np.int64)
+
+        # Vertex positions: interpolate along each unique lattice edge.
+        ug = np.stack(
+            [
+                (uniq >> 34) - OFF,
+                ((uniq >> 19) & 0x7FFF) - OFF,
+                ((uniq >> 4) & 0x7FFF) - OFF,
+            ],
+            -1,
+        ).astype(np.int64)
+        uaxis = (uniq & 0xF).astype(np.int64)
+
+        t_start, t_end = self._sample_tsdf_pairs(ug, uaxis)
+        denom = t_start - t_end
+        frac = np.where(np.abs(denom) > 1e-12, t_start / np.where(denom == 0, 1, denom), 0.5)
+        frac = np.clip(frac, 0.0, 1.0)
+        verts = ug.astype(np.float64)
+        verts[np.arange(len(uniq)), uaxis] += frac
+        verts *= cfg.voxel_size
+
+        # Drop degenerate triangles (repeated vertex ids).
+        good = (
+            (triangles[:, 0] != triangles[:, 1])
+            & (triangles[:, 1] != triangles[:, 2])
+            & (triangles[:, 0] != triangles[:, 2])
+        )
+        triangles = triangles[good]
+
+        mesh = TriangleMesh(vertices=verts, triangles=triangles)
+        mesh.vertex_normals = _mesh_vertex_normals(verts, triangles)
+        return mesh
+
+    def _sample_tsdf_pairs(self, g: np.ndarray, axis: np.ndarray):
+        """tsdf values at lattice voxel g and its +1 neighbor along axis."""
+        cfg = self.cfg
+        R = cfg.block_resolution
+        G = cfg.grid_dim
+        coords, tsdf, weight, slot_table = self._host_fields()
+        n = len(coords)
+        flat_t = np.concatenate([tsdf.reshape(n, -1), np.zeros((1, R ** 3), np.float32)])
+
+        def sample(gv):
+            b = np.floor_divide(gv, R)
+            local = gv - b * R
+            h = G // 2
+            shifted = b + h
+            ok = np.all((shifted >= 0) & (shifted < G), axis=-1)
+            key = (shifted[:, 0] * G + shifted[:, 1]) * G + shifted[:, 2]
+            slot = np.where(ok, slot_table[np.clip(key, 0, G ** 3 - 1)], -1)
+            slot = np.where(slot >= 0, slot, n)
+            li = (local[:, 0] * R + local[:, 1]) * R + local[:, 2]
+            return flat_t[slot, li]
+
+        g2 = g.copy()
+        g2[np.arange(len(g)), axis] += 1
+        return sample(g), sample(g2)
+
+
+def _gradient_normals(ext_t, idx, axis, frac):
+    """Central-difference tsdf gradients at crossing voxels (coarse but
+    adequate for visualization/ICP seeding)."""
+    n, E, _, _ = ext_t.shape
+    R = E - 1
+    b, x, y, z = idx
+    grads = []
+    for a, comp in enumerate([x, y, z]):
+        upper = np.minimum(comp + 1, R)
+        lower = np.maximum(comp - 1, 0)
+        coords_hi = [x, y, z]
+        coords_lo = [x.copy(), y.copy(), z.copy()]
+        coords_hi = [c.copy() for c in coords_hi]
+        coords_hi[a] = upper
+        coords_lo[a] = lower
+        g_hi = ext_t[b, coords_hi[0], coords_hi[1], coords_hi[2]]
+        g_lo = ext_t[b, coords_lo[0], coords_lo[1], coords_lo[2]]
+        grads.append(g_hi - g_lo)
+    return np.stack(grads, -1)
+
+
+def _mesh_vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    if len(tris) == 0:
+        return np.zeros_like(verts)
+    p0 = verts[tris[:, 0]]
+    p1 = verts[tris[:, 1]]
+    p2 = verts[tris[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    normals = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(normals, tris[:, k], fn)
+    norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+    return normals / np.maximum(norm, 1e-12)
