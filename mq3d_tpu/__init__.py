@@ -26,4 +26,9 @@ import jax as _jax
 # explicitly, so enabling x64 does not slow the TPU compute path.
 _jax.config.update("jax_enable_x64", True)
 
+# Geometry pipelines need true float32 matmuls: the TPU default matmul
+# precision runs bfloat16 passes (~3e-3 relative error — centimeters at room
+# scale). Hot kernels that genuinely want bf16 opt in locally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"

@@ -49,6 +49,7 @@ class SyntheticSceneConfig:
     fov_right: float = 0.9
     fov_top: float = 0.8
     fov_bottom: float = 0.8
+    sweep: float = 2.0 * np.pi  # yaw range of the orbit (radians)
     box_min: np.ndarray = field(default_factory=lambda: DEFAULT_BOX_MIN.copy())
     box_max: np.ndarray = field(default_factory=lambda: DEFAULT_BOX_MAX.copy())
     t0_ms: int = 1_000_000
@@ -71,7 +72,7 @@ def orbit_poses_o3d(cfg: SyntheticSceneConfig) -> Transforms:
     """Ground-truth OPEN3D camera-to-world poses: yaw sweep from near the
     room center with a small positional orbit, covering all four walls."""
     n = cfg.n_frames
-    angles = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    angles = np.linspace(0.0, cfg.sweep, n, endpoint=False)
     radius = 0.3
     center = (cfg.box_min + cfg.box_max) / 2.0
     positions = np.stack(
