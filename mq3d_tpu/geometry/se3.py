@@ -41,41 +41,64 @@ def vee(m):
 
 
 def _theta(omega):
+    """Safe rotation angle: (..., 1, 1). Returns (theta, theta_safe, small)
+    where theta_safe is gradient-safe (norm never differentiated at 0)."""
     xp = get_namespace(omega)
-    return xp.linalg.norm(omega, axis=-1, keepdims=True)[..., None]
+    sq = xp.sum(omega * omega, axis=-1)[..., None, None]
+    small = sq < 1e-10
+    theta_safe = xp.sqrt(xp.where(small, 1.0, sq))
+    theta = xp.where(small, xp.sqrt(sq + _EPS ** 2), theta_safe)
+    return theta, theta_safe, small
 
 
 def so3_exp(omega):
-    """Rodrigues formula: (..., 3) axis-angle -> (..., 3, 3) rotation."""
+    """Rodrigues formula: (..., 3) axis-angle -> (..., 3, 3) rotation.
+
+    All small-angle branches use the double-where pattern so jax.jacrev
+    stays NaN-free at omega = 0 (needed by the pose-graph solver).
+    """
     xp = get_namespace(omega)
-    theta = _theta(omega)
+    theta, ts, small = _theta(omega)
     K = hat(omega)
     K2 = K @ K
     eye = xp.broadcast_to(xp.eye(3, dtype=omega.dtype), K.shape)
     t2 = theta * theta
-    small = theta < 1e-5
-    safe = xp.where(small, 1.0, theta)
-    a = xp.where(small, 1.0 - t2 / 6.0, xp.sin(theta) / safe)
-    b = xp.where(small, 0.5 - t2 / 24.0, (1.0 - xp.cos(theta)) / xp.where(small, 1.0, t2))
+    a = xp.where(small, 1.0 - t2 / 6.0, xp.sin(ts) / ts)
+    b = xp.where(small, 0.5 - t2 / 24.0, (1.0 - xp.cos(ts)) / (ts * ts))
     return eye + a * K + b * K2
 
 
 def so3_log(R):
-    """(..., 3, 3) rotation -> (..., 3) axis-angle (theta in [0, pi])."""
+    """(..., 3, 3) rotation -> (..., 3) axis-angle (theta in [0, pi]).
+
+    Gradient-safe at theta -> 0 (double-where around arccos/sin)."""
     xp = get_namespace(R)
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = xp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = xp.arccos(cos_theta)
     w = vee(R - xp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
 
-    sin_theta = xp.sin(theta)
-    small = theta < 1e-5
-    near_pi = theta > 3.14159265 - 1e-4
+    small = cos_theta > 1.0 - 1e-10  # theta < ~1.4e-5
+    near_pi_c = cos_theta < -1.0 + 1e-7
+    cos_safe = xp.where(small | near_pi_c, 0.0, cos_theta)
+    theta_exact = xp.arccos(cos_safe)
+    # Endpoint-safe theta: sqrt-based expansions at both cos = +-1 keep
+    # gradients finite (arccos' derivative diverges at the endpoints and
+    # would leak NaN through the untaken where-branches).
+    theta_small = xp.sqrt(xp.maximum(2.0 * (1.0 - cos_theta), 0.0) + _EPS ** 2)
+    theta_pi = 3.141592653589793 - xp.sqrt(
+        xp.maximum(2.0 * (1.0 + cos_theta), 0.0) + _EPS ** 2
+    )
+    theta = xp.where(small, theta_small, xp.where(near_pi_c, theta_pi, theta_exact))
+    near_pi = near_pi_c | (theta > 3.14159265 - 1e-4)
 
+    sin_safe = xp.sin(xp.where(small | near_pi_c, xp.ones_like(theta_exact) * 0.5,
+                               theta_exact))
+    # Small angle: omega = w * (1 + |w|^2 / 6) with |w| ~ theta.
+    w2 = xp.sum(w * w, axis=-1)
     scale = xp.where(
         small,
-        1.0 + theta * theta / 6.0,
-        theta / xp.where(small | (sin_theta == 0), 1.0, sin_theta),
+        1.0 + w2 / 6.0,
+        xp.where(near_pi_c, 1.0, theta_exact / sin_safe),
     )
     omega_generic = w * scale[..., None]
 
@@ -86,8 +109,8 @@ def so3_log(R):
     diag = xp.stack([RI[..., 0, 0], RI[..., 1, 1], RI[..., 2, 2]], axis=-1)
     k = xp.argmax(diag, axis=-1)
     col = xp.take_along_axis(RI, k[..., None, None], axis=-1)[..., 0]  # (..., 3)
-    col_norm = xp.linalg.norm(col, axis=-1, keepdims=True)
-    axis_pi = col / xp.where(col_norm < _EPS, 1.0, col_norm)
+    col_norm = xp.sqrt(xp.sum(col * col, axis=-1, keepdims=True) + _EPS ** 2)
+    axis_pi = col / col_norm
     # Resolve the overall sign with the (tiny but directional) skew part.
     dot_w = xp.sum(axis_pi * w, axis=-1, keepdims=True)
     axis_pi = xp.where(dot_w < 0, -axis_pi, axis_pi)
@@ -98,15 +121,10 @@ def so3_log(R):
 
 def _jacobian_coeffs(omega):
     xp = get_namespace(omega)
-    theta = _theta(omega)
+    theta, ts, small = _theta(omega)
     t2 = theta * theta
-    small = theta < 1e-5
-    b = xp.where(small, 0.5 - t2 / 24.0, (1.0 - xp.cos(theta)) / xp.where(small, 1.0, t2))
-    c = xp.where(
-        small,
-        1.0 / 6.0 - t2 / 120.0,
-        (theta - xp.sin(theta)) / xp.where(small, 1.0, t2 * theta),
-    )
+    b = xp.where(small, 0.5 - t2 / 24.0, (1.0 - xp.cos(ts)) / (ts * ts))
+    c = xp.where(small, 1.0 / 6.0 - t2 / 120.0, (ts - xp.sin(ts)) / (ts * ts * ts))
     return b, c
 
 
@@ -122,19 +140,16 @@ def _left_jacobian(omega):
 
 def _left_jacobian_inv(omega):
     xp = get_namespace(omega)
-    theta = _theta(omega)
+    theta, ts, small = _theta(omega)
     K = hat(omega)
     K2 = K @ K
     eye = xp.broadcast_to(xp.eye(3, dtype=omega.dtype), K.shape)
     t2 = theta * theta
-    small = theta < 1e-5
-    half = theta * 0.5
-    sin_half = xp.sin(half)
+    half = ts * 0.5
     cot_term = xp.where(
         small,
         1.0 / 12.0 + t2 / 720.0,
-        (1.0 - half * xp.cos(half) / xp.where(small | (sin_half == 0), 1.0, sin_half))
-        / xp.where(small, 1.0, t2),
+        (1.0 - half * xp.cos(half) / xp.sin(half)) / (ts * ts),
     )
     return eye - 0.5 * K + cot_term * K2
 

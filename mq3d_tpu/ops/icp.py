@@ -1,0 +1,365 @@
+"""Point-cloud registration: multi-scale ICP, evaluation, information matrix.
+
+Re-design of o3d.t.pipelines.registration.{multi_scale_icp,
+evaluate_registration, get_information_matrix} (used by the reference at
+refine_fragment_poses.py:136-182).  KD-trees don't map to TPU; nearest
+neighbors use a **dense voxel bucket grid** over the target cloud (built
+host-side in one sort, queried on device): with cell size >= the search
+radius, the nearest in-radius neighbor is guaranteed to be in the 2x2x2
+cell neighborhood of the query, so each query is a fixed 8*K-candidate
+gather + masked argmin — TPU-shaped, no trees, no dynamic shapes.
+
+Transform estimation is point-to-point Umeyama/Kabsch: the device pass
+reduces masked correspondence sums (centroids, cross-covariance, rmse), the
+3x3 SVD happens on host.  Convergence criteria mirror
+ICPConvergenceCriteria (relative_fitness / relative_rmse / max_iteration).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Downsampling (host)
+# ---------------------------------------------------------------------------
+
+def voxel_down_sample(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Average points per voxel (o3d voxel_down_sample semantics)."""
+    if len(points) == 0:
+        return points
+    keys = np.floor(points / voxel_size).astype(np.int64)
+    kmin = keys.min(axis=0)
+    keys = keys - kmin
+    dims = keys.max(axis=0) + 1
+    lin = (keys[:, 0] * dims[1] + keys[:, 1]) * dims[2] + keys[:, 2]
+    order = np.argsort(lin, kind="stable")
+    lin_s = lin[order]
+    pts_s = points[order]
+    boundaries = np.concatenate([[True], lin_s[1:] != lin_s[:-1]])
+    seg_ids = np.cumsum(boundaries) - 1
+    n_seg = seg_ids[-1] + 1
+    sums = np.zeros((n_seg, 3))
+    np.add.at(sums, seg_ids, pts_s)
+    counts = np.bincount(seg_ids)
+    return sums / counts[:, None]
+
+
+def uniform_down_sample(points: np.ndarray, every_k: int) -> np.ndarray:
+    """Every k-th point (o3d uniform_down_sample)."""
+    return points[:: max(int(every_k), 1)]
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucket nearest neighbor
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GridNN:
+    """Dense voxel bucket table over a target cloud."""
+
+    target: np.ndarray  # (M_pad, 3) float32, padded with +inf
+    table: np.ndarray  # (n_cells_pad * K,) int32 target indices, -1 empty
+    gmin: np.ndarray  # (3,) float32
+    dims: np.ndarray  # (3,) int32
+    cell: float
+    capacity: int
+    n_target: int
+
+
+def _bucket_pow2(n: int, floor: int = 1024) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def build_grid_nn(target: np.ndarray, radius: float, capacity: int = 32) -> GridNN:
+    """Host-side build: one sort over target points.
+
+    Cell size is 2x the search radius: with the query point anywhere in its
+    cell, the 2x2x2 neighborhood around floor(rel - 0.5) then covers at
+    least `radius` in every direction.
+    """
+    target = np.asarray(target, np.float32)
+    m = len(target)
+    cell = float(radius) * 2.0
+    gmin = target.min(axis=0) - cell if m else np.zeros(3, np.float32)
+    keys = np.floor((target - gmin) / cell).astype(np.int64) if m else np.zeros((0, 3), np.int64)
+    dims = (keys.max(axis=0) + 2) if m else np.ones(3, np.int64)
+    lin = (keys[:, 0] * dims[1] + keys[:, 1]) * dims[2] + keys[:, 2]
+    n_cells = int(np.prod(dims))
+
+    order = np.argsort(lin, kind="stable")
+    lin_s = lin[order]
+    # Rank of each point within its cell.
+    within = np.zeros(m, np.int64)
+    if m:
+        boundaries = np.concatenate([[True], lin_s[1:] != lin_s[:-1]])
+        starts = np.zeros(m, np.int64)
+        new_seg = np.nonzero(boundaries)[0]
+        starts[new_seg] = new_seg
+        starts = np.maximum.accumulate(starts)
+        within = np.arange(m) - starts
+
+    table_len = _bucket_pow2(n_cells * capacity)
+    table = np.full(table_len, -1, np.int32)
+    if m:
+        keep = within < capacity
+        slots = lin_s[keep] * capacity + within[keep]
+        table[slots] = order[keep].astype(np.int32)
+
+    m_pad = _bucket_pow2(max(m, 1), 256)
+    tgt_pad = np.full((m_pad, 3), np.inf, np.float32)
+    tgt_pad[:m] = target
+    return GridNN(
+        target=tgt_pad,
+        table=table,
+        gmin=gmin.astype(np.float32),
+        dims=dims.astype(np.int32),
+        cell=cell,
+        capacity=capacity,
+        n_target=m,
+    )
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _nn_query(
+    src,  # (N, 3) float32 (padded with inf)
+    T,  # (4, 4) float64/float32 applied to src
+    target,  # (M_pad, 3)
+    table,  # (L,)
+    gmin,  # (3,)
+    dims,  # (3,)
+    cell,  # () f32
+    capacity: int,
+):
+    """Returns (idx (N,), dist (N,)): nearest target within the 2x2x2 cell
+    neighborhood (covers everything within `cell`); inf dist if none."""
+    Tf = T.astype(jnp.float32)
+    p = src @ Tf[:3, :3].T + Tf[:3, 3]
+    rel = (p - gmin) / cell
+    base = jnp.floor(rel - 0.5).astype(jnp.int32)
+
+    L = table.shape[0]
+    n_cells = L // capacity
+
+    best_d2 = jnp.full(p.shape[0], jnp.inf, jnp.float32)
+    best_i = jnp.full(p.shape[0], -1, jnp.int32)
+    ks = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    for dx in range(2):
+        for dy in range(2):
+            for dz in range(2):
+                c = base + jnp.asarray([dx, dy, dz], jnp.int32)
+                ok = jnp.all((c >= 0) & (c < dims), axis=-1)
+                lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+                lin = jnp.where(ok & (lin < n_cells), lin, n_cells - 1)
+                ti = table[lin[:, None] * capacity + ks]  # (N, K)
+                ti_ok = ok[:, None] & (ti >= 0)
+                q = target[jnp.maximum(ti, 0)]  # (N, K, 3)
+                d2 = jnp.sum((p[:, None, :] - q) ** 2, axis=-1)
+                d2 = jnp.where(ti_ok, d2, jnp.inf)
+                k_best = jnp.argmin(d2, axis=-1)
+                d2_best = jnp.take_along_axis(d2, k_best[:, None], axis=-1)[:, 0]
+                i_best = jnp.take_along_axis(ti, k_best[:, None], axis=-1)[:, 0]
+                better = d2_best < best_d2
+                best_d2 = jnp.where(better, d2_best, best_d2)
+                best_i = jnp.where(better, i_best, best_i)
+    return best_i, jnp.sqrt(best_d2)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _corr_reduce(
+    src, T, target, table, gmin, dims, cell, max_corr, n_src, capacity: int
+):
+    """One ICP data pass: masked correspondence statistics.
+
+    Returns (n_inlier, sse, sum_s, sum_q, sum_sq outer (3,3)) — everything
+    Kabsch needs, reduced on device.
+    """
+    idx, dist = _nn_query(src, T, target, table, gmin, dims, cell, capacity)
+    npts = src.shape[0]
+    in_src = jnp.arange(npts) < n_src
+    inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
+
+    Tf = T.astype(jnp.float32)
+    p = src @ Tf[:3, :3].T + Tf[:3, 3]  # transformed source
+    q = target[jnp.maximum(idx, 0)]
+    # Zero out masked rows BEFORE any arithmetic: padded rows are +inf and
+    # inf * 0 = nan would poison the reductions.
+    p = jnp.where(inlier[:, None], p, 0.0)
+    q = jnp.where(inlier[:, None], q, 0.0)
+    n_in = jnp.sum(inlier)
+    sse = jnp.sum(jnp.where(inlier, dist ** 2, 0.0))
+    sum_p = jnp.sum(p, axis=0)
+    sum_q = jnp.sum(q, axis=0)
+    outer = jnp.einsum("ni,nj->ij", p, q, preferred_element_type=jnp.float64)
+    sum_ppT = jnp.einsum("ni,nj->ij", p, p, preferred_element_type=jnp.float64)
+    return n_in, sse, sum_p.astype(jnp.float64), sum_q.astype(jnp.float64), outer, sum_ppT
+
+
+@dataclass
+class RegistrationResult:
+    transformation: np.ndarray
+    fitness: float = 0.0
+    inlier_rmse: float = 0.0
+    n_correspondences: int = 0
+
+
+@dataclass
+class ICPConvergenceCriteria:
+    max_iteration: int = 30
+    relative_fitness: float = 1e-6
+    relative_rmse: float = 1e-6
+
+
+def _pad_src(points: np.ndarray) -> Tuple[np.ndarray, int]:
+    n = len(points)
+    n_pad = _bucket_pow2(max(n, 1), 256)
+    out = np.full((n_pad, 3), np.inf, np.float32)
+    out[:n] = points
+    return out, n
+
+
+def _stats(grid: GridNN, src_pad, n_src, T, max_corr):
+    n_in, sse, sum_p, sum_q, outer, sum_ppT = _corr_reduce(
+        jnp.asarray(src_pad), jnp.asarray(T), jnp.asarray(grid.target),
+        jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+        jnp.float32(grid.cell), jnp.float32(max_corr), jnp.asarray(n_src),
+        grid.capacity,
+    )
+    return (
+        int(n_in), float(sse), np.asarray(sum_p), np.asarray(sum_q),
+        np.asarray(outer), np.asarray(sum_ppT),
+    )
+
+
+def registration_icp(
+    source: np.ndarray,
+    target: np.ndarray,
+    max_correspondence_distance: float,
+    init: Optional[np.ndarray] = None,
+    criteria: Optional[ICPConvergenceCriteria] = None,
+    grid: Optional[GridNN] = None,
+) -> RegistrationResult:
+    """Point-to-point ICP (TransformationEstimationPointToPoint)."""
+    criteria = criteria or ICPConvergenceCriteria()
+    T = np.eye(4) if init is None else np.asarray(init, np.float64)
+    if grid is None:
+        grid = build_grid_nn(target, max_correspondence_distance)
+    src_pad, n_src = _pad_src(np.asarray(source, np.float32))
+    if n_src == 0 or grid.n_target == 0:
+        return RegistrationResult(T)
+
+    prev_fitness, prev_rmse = 0.0, 0.0
+    fitness, rmse, n_in = 0.0, 0.0, 0
+    for it in range(criteria.max_iteration):
+        n_in, sse, sum_p, sum_q, outer, _ = _stats(grid, src_pad, n_src, T, max_correspondence_distance)
+        if n_in < 3:
+            break
+        fitness = n_in / n_src
+        rmse = float(np.sqrt(sse / n_in))
+
+        # Kabsch from reduced moments: cross-covariance of (p - cp, q - cq).
+        cp = sum_p / n_in
+        cq = sum_q / n_in
+        H = outer / n_in - np.outer(cp, cq)
+        U, S, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        D = np.diag([1.0, 1.0, d])
+        R = Vt.T @ D @ U.T
+        t = cq - R @ cp
+        delta = np.eye(4)
+        delta[:3, :3] = R
+        delta[:3, 3] = t
+        T = delta @ T
+
+        if it > 0 and abs(fitness - prev_fitness) < criteria.relative_fitness \
+                and abs(rmse - prev_rmse) < criteria.relative_rmse:
+            break
+        prev_fitness, prev_rmse = fitness, rmse
+
+    # Final evaluation at the converged transform.
+    n_in, sse, *_ = _stats(grid, src_pad, n_src, T, max_correspondence_distance)
+    fitness = n_in / n_src if n_src else 0.0
+    rmse = float(np.sqrt(sse / n_in)) if n_in else 0.0
+    return RegistrationResult(T, fitness, rmse, n_in)
+
+
+def multi_scale_icp(
+    source: np.ndarray,
+    target: np.ndarray,
+    voxel_sizes: List[float],
+    criteria_list: List[ICPConvergenceCriteria],
+    max_correspondence_distances: List[float],
+    init_source_to_target: Optional[np.ndarray] = None,
+) -> RegistrationResult:
+    """Coarse-to-fine ICP over a voxel pyramid (o3d multi_scale_icp)."""
+    T = np.eye(4) if init_source_to_target is None else np.asarray(init_source_to_target)
+    result = RegistrationResult(T)
+    for voxel, crit, max_corr in zip(voxel_sizes, criteria_list, max_correspondence_distances):
+        src = voxel_down_sample(source, voxel) if voxel > 0 else source
+        tgt = voxel_down_sample(target, voxel) if voxel > 0 else target
+        result = registration_icp(src, tgt, max_corr, init=T, criteria=crit)
+        T = result.transformation
+    return result
+
+
+def evaluate_registration(
+    source: np.ndarray,
+    target: np.ndarray,
+    max_correspondence_distance: float,
+    transformation: Optional[np.ndarray] = None,
+) -> RegistrationResult:
+    T = np.eye(4) if transformation is None else np.asarray(transformation, np.float64)
+    grid = build_grid_nn(target, max_correspondence_distance)
+    src_pad, n_src = _pad_src(np.asarray(source, np.float32))
+    if n_src == 0 or grid.n_target == 0:
+        return RegistrationResult(T)
+    n_in, sse, *_ = _stats(grid, src_pad, n_src, T, max_correspondence_distance)
+    return RegistrationResult(
+        T, n_in / n_src, float(np.sqrt(sse / n_in)) if n_in else 0.0, n_in
+    )
+
+
+def get_information_matrix(
+    source: np.ndarray,
+    target: np.ndarray,
+    max_correspondence_distance: float,
+    transformation: np.ndarray,
+) -> np.ndarray:
+    """Sum G^T G over corresponding target points (o3d
+    GetInformationMatrixFromPointClouds semantics)."""
+    grid = build_grid_nn(target, max_correspondence_distance)
+    src_pad, n_src = _pad_src(np.asarray(source, np.float32))
+    if n_src == 0 or grid.n_target == 0:
+        return np.eye(6)
+    idx, dist = _nn_query(
+        jnp.asarray(src_pad), jnp.asarray(transformation), jnp.asarray(grid.target),
+        jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+        jnp.float32(grid.cell), grid.capacity,
+    )
+    idx = np.asarray(idx)
+    dist = np.asarray(dist)
+    inlier = (dist <= max_correspondence_distance) & np.isfinite(dist)
+    inlier[n_src:] = False
+    q = np.asarray(grid.target)[np.maximum(idx, 0)][inlier].astype(np.float64)
+    if len(q) == 0:
+        return np.eye(6)
+    G = np.zeros((len(q), 3, 6))
+    G[:, 0, 1] = q[:, 2]
+    G[:, 0, 2] = -q[:, 1]
+    G[:, 0, 3] = 1.0
+    G[:, 1, 0] = -q[:, 2]
+    G[:, 1, 2] = q[:, 0]
+    G[:, 1, 4] = 1.0
+    G[:, 2, 0] = q[:, 1]
+    G[:, 2, 1] = -q[:, 0]
+    G[:, 2, 5] = 1.0
+    return np.einsum("nri,nrj->ij", G, G)

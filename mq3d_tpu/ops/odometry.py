@@ -1,0 +1,96 @@
+"""Depth-odometry information matrices, batched on device.
+
+Re-design of o3d.t.pipelines.odometry.compute_odometry_information_matrix
+(used by the reference at make_fragments.py:142-150, 228-232): given two
+depth maps and a source-to-target relative pose, count reprojection
+correspondences within dist_threshold and accumulate the 6x6 Gauss-Newton
+information matrix Sum G^T G over corresponding *target* points q, with
+G rows [ skew-part | I ]:
+
+    [ 0   q.z -q.y  1 0 0 ]
+    [-q.z 0    q.x  0 1 0 ]
+    [ q.y -q.x 0    0 0 1 ]
+
+(the standard Open3D GetInformationMatrix Jacobian in (rx, ry, rz, tx, ty,
+tz) twist order).  The whole pixel set is one dense masked einsum — MXU
+work, no boolean compaction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _unproject(depth, K):
+    h, w = depth.shape
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = (u - cx) * depth / fx
+    y = (v - cy) * depth / fy
+    return jnp.stack([jnp.broadcast_to(x, (h, w)), jnp.broadcast_to(y, (h, w)), depth], -1)
+
+
+@partial(jax.jit, static_argnames=("dist_threshold", "depth_max"))
+def odometry_information_matrix(
+    source_depth,  # (H, W) float32 metric depth
+    target_depth,  # (H, W)
+    intrinsic,  # (3, 3) float32
+    source_to_target,  # (4, 4) float32
+    dist_threshold: float,
+    depth_max: float,
+):
+    """Returns (info (6,6) float64, n_corr ()) — matching the Open3D op's
+    output semantics (float64 information matrix)."""
+    h, w = source_depth.shape
+    K = intrinsic.astype(jnp.float32)
+    T = source_to_target.astype(jnp.float32)
+
+    src_ok = (source_depth > 0) & (source_depth <= depth_max)
+    p_src = _unproject(source_depth, K)
+    p_t = p_src @ T[:3, :3].T + T[:3, 3]
+
+    z = p_t[..., 2]
+    z_safe = jnp.where(z > 0, z, 1.0)
+    u = K[0, 0] * p_t[..., 0] / z_safe + K[0, 2]
+    v = K[1, 1] * p_t[..., 1] / z_safe + K[1, 2]
+    ui = jnp.floor(u + 0.5).astype(jnp.int32)
+    vi = jnp.floor(v + 0.5).astype(jnp.int32)
+    in_img = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h) & (z > 0)
+
+    flat = target_depth.reshape(-1)
+    d_t = flat[jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)]
+    tgt_ok = (d_t > 0) & (d_t <= depth_max)
+
+    # Target 3D point at the corresponding pixel.
+    q = jnp.stack(
+        [
+            (ui.astype(jnp.float32) - K[0, 2]) * d_t / K[0, 0],
+            (vi.astype(jnp.float32) - K[1, 2]) * d_t / K[1, 1],
+            d_t,
+        ],
+        -1,
+    )
+    dist = jnp.linalg.norm(p_t - q, axis=-1)
+    corr = src_ok & in_img & tgt_ok & (dist < dist_threshold)
+
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+    zeros = jnp.zeros_like(qx)
+    ones = jnp.ones_like(qx)
+    # G: (H, W, 3, 6)
+    G = jnp.stack(
+        [
+            jnp.stack([zeros, qz, -qy, ones, zeros, zeros], -1),
+            jnp.stack([-qz, zeros, qx, zeros, ones, zeros], -1),
+            jnp.stack([qy, -qx, zeros, zeros, zeros, ones], -1),
+        ],
+        -2,
+    )
+    G = jnp.where(corr[..., None, None], G, 0.0)
+    info = jnp.einsum("hwri,hwrj->ij", G, G, preferred_element_type=jnp.float64)
+    return info.astype(jnp.float64), jnp.sum(corr)

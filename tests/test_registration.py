@@ -1,0 +1,204 @@
+"""Odometry info-matrix, ICP, and pose-graph optimization tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mq3d_tpu.geometry import se3
+from mq3d_tpu.ops.icp import (
+    ICPConvergenceCriteria,
+    build_grid_nn,
+    evaluate_registration,
+    get_information_matrix,
+    multi_scale_icp,
+    registration_icp,
+    uniform_down_sample,
+    voxel_down_sample,
+)
+from mq3d_tpu.ops.odometry import odometry_information_matrix
+from mq3d_tpu.ops.posegraph import (
+    GlobalOptimizationOption,
+    PoseGraph,
+    PoseGraphEdge,
+    global_optimization,
+)
+
+
+def make_surface(rng, n=4000):
+    """Wavy surface patch point cloud."""
+    xy = rng.uniform(-1, 1, (n, 2))
+    z = 0.2 * np.sin(3 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+    return np.stack([xy[:, 0], xy[:, 1], z], -1)
+
+
+class TestDownsample:
+    def test_voxel_down_sample(self, rng):
+        pts = rng.uniform(0, 1, (1000, 3))
+        out = voxel_down_sample(pts, 0.25)
+        assert len(out) <= 4 ** 3
+        assert len(out) > 10
+        # Voxel means lie within their voxel.
+        keys = np.floor(out / 0.25)
+        assert np.all(out >= keys * 0.25 - 1e-9)
+
+    def test_uniform_down_sample(self, rng):
+        pts = rng.uniform(0, 1, (100, 3))
+        np.testing.assert_array_equal(uniform_down_sample(pts, 7), pts[::7])
+
+
+class TestGridNN:
+    def test_matches_bruteforce(self, rng):
+        tgt = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+        src = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+        radius = 0.2
+        grid = build_grid_nn(tgt, radius, capacity=64)
+        from mq3d_tpu.ops.icp import _nn_query, _pad_src
+
+        src_pad, n_src = _pad_src(src)
+        idx, dist = _nn_query(
+            jnp.asarray(src_pad), jnp.asarray(np.eye(4)), jnp.asarray(grid.target),
+            jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+            jnp.float32(grid.cell), grid.capacity,
+        )
+        idx = np.asarray(idx)[:n_src]
+        dist = np.asarray(dist)[:n_src]
+        d_bf = np.linalg.norm(src[:, None] - tgt[None], axis=-1)
+        true_idx = d_bf.argmin(1)
+        true_d = d_bf.min(1)
+        within = true_d <= radius
+        np.testing.assert_allclose(dist[within], true_d[within], atol=1e-5)
+        # Indices may differ on exact ties; distances must match.
+        assert (np.abs(dist[within] - true_d[within]) < 1e-5).all()
+
+
+class TestICP:
+    def test_recovers_rigid_transform(self, rng):
+        src = make_surface(rng)
+        xi = np.array([0.03, -0.02, 0.05, 0.04, -0.03, 0.02])
+        T_true = np.asarray(se3.se3_exp(xi))
+        tgt = src @ T_true[:3, :3].T + T_true[:3, 3]
+
+        result = multi_scale_icp(
+            src, tgt,
+            voxel_sizes=[0.1, 0.05],
+            criteria_list=[ICPConvergenceCriteria(30), ICPConvergenceCriteria(20)],
+            max_correspondence_distances=[0.3, 0.1],
+        )
+        err = np.asarray(se3.se3_log(np.linalg.inv(T_true) @ result.transformation))
+        assert np.linalg.norm(err) < 0.02
+        assert result.fitness > 0.9
+
+    def test_evaluate_identity(self, rng):
+        pts = make_surface(rng, 1000)
+        r = evaluate_registration(pts, pts, 0.05)
+        assert r.fitness == 1.0
+        assert r.inlier_rmse < 1e-5
+
+    def test_information_matrix_formula(self, rng):
+        pts = make_surface(rng, 500)
+        info = get_information_matrix(pts, pts, 0.05, np.eye(4))
+        # Closed form: correspondences are the points themselves.
+        q = pts
+        G = np.zeros((len(q), 3, 6))
+        G[:, 0, 1] = q[:, 2]; G[:, 0, 2] = -q[:, 1]; G[:, 0, 3] = 1
+        G[:, 1, 0] = -q[:, 2]; G[:, 1, 2] = q[:, 0]; G[:, 1, 4] = 1
+        G[:, 2, 0] = q[:, 1]; G[:, 2, 1] = -q[:, 0]; G[:, 2, 5] = 1
+        expected = np.einsum("nri,nrj->ij", G, G)
+        np.testing.assert_allclose(info, expected, rtol=1e-4)
+
+
+class TestOdometryInfo:
+    def test_identity_pair_counts_all_valid(self, rng):
+        h, w = 24, 32
+        depth = (1.0 + 0.3 * rng.random((h, w))).astype(np.float32)
+        K = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1]], np.float32)
+        info, n = odometry_information_matrix(
+            jnp.asarray(depth), jnp.asarray(depth), jnp.asarray(K),
+            jnp.asarray(np.eye(4, dtype=np.float32)),
+            dist_threshold=0.07, depth_max=4.0,
+        )
+        assert int(n) == h * w
+        info = np.asarray(info)
+        # Parity with a direct numpy evaluation.
+        u, v = np.meshgrid(np.arange(w), np.arange(h))
+        x = (u - 16.0) * depth / 40.0
+        y = (v - 12.0) * depth / 40.0
+        q = np.stack([x, y, depth], -1).reshape(-1, 3).astype(np.float64)
+        G = np.zeros((len(q), 3, 6))
+        G[:, 0, 1] = q[:, 2]; G[:, 0, 2] = -q[:, 1]; G[:, 0, 3] = 1
+        G[:, 1, 0] = -q[:, 2]; G[:, 1, 2] = q[:, 0]; G[:, 1, 4] = 1
+        G[:, 2, 0] = q[:, 1]; G[:, 2, 1] = -q[:, 0]; G[:, 2, 5] = 1
+        expected = np.einsum("nri,nrj->ij", G, G)
+        np.testing.assert_allclose(info, expected, rtol=1e-4)
+
+    def test_far_apart_no_correspondence(self, rng):
+        h, w = 24, 32
+        depth = np.full((h, w), 2.0, np.float32)
+        K = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = 1.0  # large forward shift -> distances ~1m >> threshold
+        info, n = odometry_information_matrix(
+            jnp.asarray(depth), jnp.asarray(depth), jnp.asarray(K),
+            jnp.asarray(T), dist_threshold=0.07, depth_max=4.0,
+        )
+        assert int(n) == 0
+
+
+class TestPoseGraph:
+    def make_ring(self, rng, n=12, noise=0.02):
+        """Ground-truth ring of poses + noisy odometry edges + loop edge."""
+        gt = []
+        for k in range(n):
+            a = 2 * np.pi * k / n
+            xi = np.array([0, a, 0, np.cos(a), 0.0, np.sin(a)])
+            gt.append(np.asarray(se3.se3_exp(xi)))
+        gt = np.stack(gt)
+
+        edges = []
+        for i in range(n - 1):
+            T = np.linalg.inv(gt[i + 1]) @ gt[i]
+            pert = np.asarray(se3.se3_exp(rng.normal(scale=noise, size=6)))
+            edges.append(PoseGraphEdge(i, i + 1, pert @ T, np.eye(6) * 100, False))
+        # Loop closure (exact, uncertain).
+        T = np.linalg.inv(gt[0]) @ gt[n - 1]
+        edges.append(PoseGraphEdge(n - 1, 0, T, np.eye(6) * 100, True))
+        return gt, edges
+
+    def test_optimization_reduces_error(self, rng):
+        gt, edges = self.make_ring(rng)
+        n = len(gt)
+        # Initialize by chaining the noisy odometry.
+        init = [gt[0]]
+        for i in range(n - 1):
+            init.append(init[-1] @ np.linalg.inv(edges[i].transformation))
+        pg = PoseGraph(nodes=list(init), edges=edges)
+
+        def pose_err(nodes):
+            errs = []
+            for i in range(n):
+                d = np.asarray(se3.se3_log(np.linalg.inv(gt[i]) @ nodes[i]))
+                errs.append(np.linalg.norm(d))
+            return np.mean(errs)
+
+        before = pose_err(pg.nodes)
+        global_optimization(pg, GlobalOptimizationOption(reference_node=0))
+        after = pose_err(pg.nodes)
+        assert after < before * 0.7
+
+    def test_outlier_loop_pruned(self, rng):
+        gt, edges = self.make_ring(rng, noise=0.005)
+        # Add a grossly wrong uncertain loop edge.
+        bad = np.eye(4)
+        bad[:3, 3] = [5.0, 5.0, 5.0]
+        edges.append(PoseGraphEdge(3, 8, bad, np.eye(6) * 100, True))
+        n = len(gt)
+        init = [gt[0]]
+        for i in range(n - 1):
+            init.append(init[-1] @ np.linalg.inv(edges[i].transformation))
+        pg = PoseGraph(nodes=list(init), edges=list(edges))
+        n_edges_before = len(pg.edges)
+        global_optimization(pg, GlobalOptimizationOption(reference_node=0))
+        assert len(pg.edges) < n_edges_before  # bad loop pruned
+        # Good loop retained.
+        assert any(e.uncertain for e in pg.edges)
