@@ -128,6 +128,12 @@ class FragmentPoseRefinementConfig:
     dist_threshold: float = 0.07
     edge_prune_threshold: float = 0.25
     use_multi_threading: bool = False
+    # TPU-only knobs:
+    frames_per_batch: int = 16
+    grid_dim: int = 160
+    chunk_active_capacity: int = 12_288
+    integrate_tile: int = 512
+    alloc_pixel_stride: int = 2
 
 
 @dataclass
@@ -141,7 +147,12 @@ class IntegrationConfig:
     block_count: int = 50_000
     depth_max: float = 1.5
     trunc_voxel_multiplier: float = 8.0
-    frames_per_batch: int = 16  # frames fused per device launch (TPU-only knob)
+    # TPU-only knobs (no reference counterpart):
+    frames_per_batch: int = 16  # frames fused per device launch
+    grid_dim: int = 160  # dense slot-table extent (blocks/axis)
+    chunk_active_capacity: int = 12_288  # max blocks touched per chunk
+    integrate_tile: int = 512  # blocks per integration tile
+    alloc_pixel_stride: int = 2  # pixel subsampling for allocation
 
 
 @dataclass

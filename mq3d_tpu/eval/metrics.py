@@ -1,0 +1,128 @@
+"""Geometry comparison metrics: chamfer, Hausdorff, F-score, volume IoU.
+
+Re-design of the reference's ground-truth comparison suite (reference:
+analysis/computation/compare_mesh_to_ground_truth.py:139-343): the same
+metric definitions, with nearest-neighbor distances computed as tiled
+brute-force on the MXU (|s|^2 + |t|^2 - 2 s.t) instead of KD-trees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=())
+def _min_dists_tile(src_tile, tgt):
+    """Min distance from each src point to the target set (one tile)."""
+    s2 = jnp.sum(src_tile ** 2, axis=-1, keepdims=True)
+    t2 = jnp.sum(tgt ** 2, axis=-1)[None, :]
+    cross = src_tile @ tgt.T
+    d2 = s2 + t2 - 2.0 * cross
+    return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
+
+
+def nearest_distances(src: np.ndarray, tgt: np.ndarray, tile: int = 4096) -> np.ndarray:
+    """Exact nearest-neighbor distances src -> tgt (brute force, tiled)."""
+    src = np.asarray(src, np.float32)
+    tgt = np.asarray(tgt, np.float32)
+    if len(src) == 0 or len(tgt) == 0:
+        return np.full(len(src), np.inf, np.float32)
+    tgt_d = jnp.asarray(tgt)
+    out = np.empty(len(src), np.float32)
+    for s in range(0, len(src), tile):
+        e = min(s + tile, len(src))
+        chunk = src[s:e]
+        if e - s < tile:
+            chunk = np.concatenate(
+                [chunk, np.full((tile - (e - s), 3), 1e9, np.float32)]
+            )
+        d = _min_dists_tile(jnp.asarray(chunk), tgt_d)
+        out[s:e] = np.asarray(d)[: e - s]
+    return out
+
+
+@dataclass
+class GeometryComparison:
+    chamfer: float
+    hausdorff: float
+    mean_to_gt: float
+    mean_from_gt: float
+    precision: float
+    recall: float
+    fscore: float
+    threshold: float
+
+
+def compare_point_clouds(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    fscore_threshold: Optional[float] = None,
+) -> GeometryComparison:
+    """Chamfer / Hausdorff / F-score@tau between two point sets.
+
+    tau defaults to 1% of the GT bounding-box diagonal (reference
+    compare_mesh_to_ground_truth.py:232 default)."""
+    if fscore_threshold is None:
+        diag = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+        fscore_threshold = 0.01 * diag
+
+    d_pg = nearest_distances(pred, gt)
+    d_gp = nearest_distances(gt, pred)
+
+    mean_to_gt = float(d_pg.mean())
+    mean_from_gt = float(d_gp.mean())
+    chamfer = mean_to_gt + mean_from_gt
+    hausdorff = float(max(d_pg.max(), d_gp.max()))
+    precision = float((d_pg <= fscore_threshold).mean())
+    recall = float((d_gp <= fscore_threshold).mean())
+    fscore = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall > 0
+        else 0.0
+    )
+    return GeometryComparison(
+        chamfer=chamfer,
+        hausdorff=hausdorff,
+        mean_to_gt=mean_to_gt,
+        mean_from_gt=mean_from_gt,
+        precision=precision,
+        recall=recall,
+        fscore=fscore,
+        threshold=fscore_threshold,
+    )
+
+
+def voxel_iou(pred: np.ndarray, gt: np.ndarray, voxel_size: float) -> float:
+    """Occupied-voxel IoU between two point sets (reference :280-342)."""
+    def occ(points):
+        keys = np.floor(points / voxel_size).astype(np.int64)
+        return set(map(tuple, keys))
+
+    a = occ(pred)
+    b = occ(gt)
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(len(a | b), 1)
+
+
+def mesh_surface_area(vertices: np.ndarray, triangles: np.ndarray) -> float:
+    p0 = vertices[triangles[:, 0]]
+    p1 = vertices[triangles[:, 1]]
+    p2 = vertices[triangles[:, 2]]
+    return float(0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1).sum())
+
+
+def count_boundary_edges(triangles: np.ndarray) -> int:
+    """Edges referenced by exactly one triangle (hole boundary length)."""
+    edges = np.concatenate(
+        [triangles[:, [0, 1]], triangles[:, [1, 2]], triangles[:, [2, 0]]]
+    )
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    return int((counts == 1).sum())

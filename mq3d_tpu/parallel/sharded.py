@@ -1,0 +1,250 @@
+"""Multi-chip TSDF integration: frames data-parallel over a jax Mesh.
+
+The reference's only concurrency is host process pools (reference:
+scripts/utils/paralell_utils.py:6-69); the TPU-native scaling axis is SPMD
+over ICI.  TSDF fusion is an exact data-parallel reduction because the
+Open3D update rule tsdf' = (tsdf*w + obs)/(w+1) is an unweighted running
+mean of observations:
+
+  * allocation:  per-device touched-block sets union via `psum` (a set
+    union is a commutative max/sum) -> every device derives an *identical*
+    slot table with the same prefix-sum, no coordination needed;
+  * integration: each device accumulates (sum_obs, count) for its frame
+    shard over the shared slot table; one `psum` merges the shards exactly.
+
+Collectives ride the ICI mesh axis; nothing is host-mediated.  The same
+function runs single-chip (mesh of 1) and is exercised on a virtual CPU
+mesh in tests and by __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mq3d_tpu.ops.tsdf import (
+    TSDFConfig,
+    TSDFState,
+    _block_keys,
+    _keys_to_coords,
+    _voxel_offsets,
+    create_state,
+)
+
+
+def _local_alloc_keys(cfg: TSDFConfig, depth, intrinsics, T_cw, frame_valid):
+    """Candidate block keys for a local frame shard: (n_keys,) int32 with
+    sentinel G^3 for invalid."""
+    C, H, W = depth.shape
+    G = cfg.grid_dim
+    ds = cfg.alloc_pixel_stride
+    fx = intrinsics[:, 0, 0][:, None, None]
+    fy = intrinsics[:, 1, 1][:, None, None]
+    cx = intrinsics[:, 0, 2][:, None, None]
+    cy = intrinsics[:, 1, 2][:, None, None]
+
+    d_sub = depth[:, ::ds, ::ds]
+    u = (jnp.arange(0, W, ds, dtype=jnp.float32))[None, None, :]
+    v = (jnp.arange(0, H, ds, dtype=jnp.float32))[None, :, None]
+    valid_px = (d_sub > 0) & (d_sub <= cfg.depth_max) & frame_valid[:, None, None]
+    pc = jnp.stack([(u - cx) / fx * d_sub, (v - cy) / fy * d_sub, d_sub], axis=-1)
+    Rcw = T_cw[:, :3, :3]
+    tcw = T_cw[:, :3, 3]
+    pw = jnp.einsum("cij,chwj->chwi", Rcw, pc) + tcw[:, None, None, :]
+
+    offs = jnp.asarray(
+        np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1)
+        .reshape(-1, 3)
+        .astype(np.float32)
+        * cfg.trunc
+    )
+    cand = pw[:, :, :, None, :] + offs[None, None, None, :, :]
+    bcoord = jnp.floor(cand / cfg.block_size).astype(jnp.int32)
+    keys = _block_keys(bcoord, G)
+    return jnp.where(valid_px[..., None], keys, G ** 3).reshape(-1)
+
+
+def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data"):
+    """Build a pjit-able one-step function: (state, frame shard) -> state.
+
+    Frames shard over `axis`; the TSDF state is replicated (small relative
+    to HBM) and updated identically on every device after the psums.
+    """
+    G = cfg.grid_dim
+    R = cfg.block_resolution
+    cap = cfg.block_count
+    voxel_offs = jnp.asarray(_voxel_offsets(R))
+
+    def step_local(state: TSDFState, depth, intrinsics, T_wc, frame_valid):
+        C = depth.shape[0]  # local frames per device
+        T_cw = jnp.linalg.inv(T_wc.astype(jnp.float32))
+
+        # ---- allocation: local touched set -> global union (psum) ----------
+        keys = _local_alloc_keys(cfg, depth, intrinsics, T_cw, frame_valid)
+        # Per-local-frame touch sets (gating integration like the single-chip
+        # path, so sharded == per-frame exactly).
+        n_pix27 = keys.shape[0] // C
+        frame_offsets = (
+            jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1)
+        ).repeat(n_pix27)
+        frame_touched = (
+            jnp.zeros((C * (G ** 3 + 1),), jnp.uint8)
+            .at[keys + frame_offsets]
+            .max(jnp.uint8(1))
+        )
+        touched_local = jnp.max(
+            frame_touched.reshape(C, G ** 3 + 1), axis=0
+        )[: G ** 3].astype(jnp.int32)
+        touched = jax.lax.psum(touched_local, axis)  # union (count>0 == any)
+
+        new_mask = (touched > 0) & (state.slot_table < 0)
+        ranks = jnp.cumsum(new_mask.astype(jnp.int32))
+        total_new = ranks[-1]
+        slot_for_new = state.n_active + ranks - 1
+        can_fit = slot_for_new < cap
+        slot_table = jnp.where(new_mask & can_fit, slot_for_new, state.slot_table)
+        grid_keys = jnp.arange(G ** 3, dtype=jnp.int32)
+        coords_all = _keys_to_coords(grid_keys, G)
+        scatter_idx = jnp.where(new_mask & can_fit, slot_for_new, cap)
+        block_coords = state.block_coords.at[scatter_idx].set(coords_all, mode="drop")
+        n_active = jnp.minimum(state.n_active + total_new, cap)
+        overflow = state.overflow + jnp.maximum(state.n_active + total_new - cap, 0)
+
+        # ---- chunk active list (identical on every device) ------------------
+        M = cfg.chunk_active_capacity
+        active_mask = (touched > 0) & (slot_table >= 0)
+        rank2 = jnp.cumsum(active_mask.astype(jnp.int32))
+        list_idx = jnp.where(active_mask & (rank2 <= M), rank2 - 1, M)
+        active_slots = (
+            jnp.full((M + 1,), cap, jnp.int32).at[list_idx].set(slot_table, mode="drop")
+        )[:M]
+
+        # ---- local integration over the frame shard -------------------------
+        H, W = depth.shape[1], depth.shape[2]
+        Rwc = T_wc[:, :3, :3].astype(jnp.float32)
+        twc = T_wc[:, :3, 3].astype(jnp.float32)
+        inv_trunc = jnp.float32(1.0 / cfg.trunc)
+        TM = cfg.integrate_tile
+        n_tiles = (M + TM - 1) // TM
+
+        def tile_body(t, acc):
+            sums, cnts = acc
+            slots = jax.lax.dynamic_slice(active_slots, (t * TM,), (TM,))
+            slot_ok = slots < cap
+            bc = block_coords[jnp.minimum(slots, cap)]
+            tile_keys = _block_keys(bc, G)
+            touch_bits = frame_touched[
+                tile_keys[:, None]
+                + (jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1))[None, :]
+            ]
+            p = ((bc * R)[:, None, :] + voxel_offs[None, :, :]).astype(
+                jnp.float32
+            ) * cfg.voxel_size
+
+            def frame_body(f, a):
+                s, c = a
+                pc = jnp.einsum("ij,tvj->tvi", Rwc[f], p) + twc[f]
+                z = pc[..., 2]
+                zs = jnp.where(z > 0, z, 1.0)
+                uu = intrinsics[f, 0, 0] * pc[..., 0] / zs + intrinsics[f, 0, 2]
+                vv = intrinsics[f, 1, 1] * pc[..., 1] / zs + intrinsics[f, 1, 2]
+                ui = jnp.floor(uu + 0.5).astype(jnp.int32)
+                vi = jnp.floor(vv + 0.5).astype(jnp.int32)
+                in_img = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
+                d = depth[f].reshape(-1)[
+                    jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+                ]
+                ok = (
+                    in_img & (d > 0) & (d <= cfg.depth_max) & frame_valid[f]
+                    & (touch_bits[:, f] > 0)[:, None]
+                )
+                sdf = d - z
+                ok &= sdf >= -cfg.trunc
+                obs = jnp.minimum(sdf, cfg.trunc) * inv_trunc
+                s = s + jnp.where(ok, obs, 0.0)
+                c = c + ok.astype(jnp.float32)
+                return (s, c)
+
+            s0 = jnp.zeros((TM, cfg.r3), jnp.float32)
+            c0 = jnp.zeros((TM, cfg.r3), jnp.float32)
+            s, c = jax.lax.fori_loop(0, C, frame_body, (s0, c0))
+            slots_safe = jnp.where(slot_ok, slots, cap)
+            sums = sums.at[slots_safe].add(jnp.where(slot_ok[:, None], s, 0.0))
+            cnts = cnts.at[slots_safe].add(jnp.where(slot_ok[:, None], c, 0.0))
+            return (sums, cnts)
+
+        sums0 = jnp.zeros((cap + 1, cfg.r3), jnp.float32)
+        cnts0 = jnp.zeros((cap + 1, cfg.r3), jnp.float32)
+        sums, cnts = jax.lax.fori_loop(0, n_tiles, tile_body, (sums0, cnts0))
+
+        # ---- exact cross-device merge ---------------------------------------
+        sums = jax.lax.psum(sums, axis)
+        cnts = jax.lax.psum(cnts, axis)
+
+        new_w = state.weight + cnts
+        new_t = jnp.where(
+            cnts > 0, (state.tsdf * state.weight + sums) / jnp.maximum(new_w, 1.0),
+            state.tsdf,
+        )
+        new_t = new_t.at[cap].set(0.0)
+        new_w = new_w.at[cap].set(0.0)
+        return TSDFState(slot_table, block_coords, new_t, new_w, n_active, overflow)
+
+    sharded = jax.shard_map(
+        step_local,
+        mesh=mesh,
+        in_specs=(
+            P(),  # state (replicated; prefix spec covers the pytree)
+            P(axis),  # depth
+            P(axis),  # intrinsics
+            P(axis),  # extrinsics
+            P(axis),  # frame_valid
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def integrate_dataset_sharded(
+    cfg: TSDFConfig,
+    mesh: Mesh,
+    depth: np.ndarray,  # (N, H, W), N divisible by mesh size * chunk
+    intrinsics: np.ndarray,
+    extrinsics_wc: np.ndarray,
+    frame_valid: np.ndarray,
+    frames_per_device_chunk: int = 8,
+) -> TSDFState:
+    """Convenience driver: chunk a whole dataset through the sharded step."""
+    n_dev = mesh.devices.size
+    step = sharded_integrate_step(cfg, mesh)
+    state = create_state(cfg)
+
+    chunk = n_dev * frames_per_device_chunk
+    n = depth.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        pad = n_pad - n
+        depth = np.concatenate([depth, np.zeros((pad,) + depth.shape[1:], np.float32)])
+        intrinsics = np.concatenate(
+            [intrinsics, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]
+        )
+        extrinsics_wc = np.concatenate(
+            [extrinsics_wc, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))]
+        )
+        frame_valid = np.concatenate([frame_valid, np.zeros(pad, bool)])
+
+    for s in range(0, n_pad, chunk):
+        state = step(
+            state,
+            jnp.asarray(depth[s : s + chunk], jnp.float32),
+            jnp.asarray(intrinsics[s : s + chunk], jnp.float32),
+            jnp.asarray(extrinsics_wc[s : s + chunk], jnp.float32),
+            jnp.asarray(frame_valid[s : s + chunk]),
+        )
+    return state

@@ -52,16 +52,19 @@ def load_filtered_depth_stack(
     return stack, valid
 
 
-def tsdf_config_from_integration(
-    config: IntegrationConfig, alloc_pixel_stride: int = 2
-) -> TSDFConfig:
+def tsdf_config_from_integration(config: IntegrationConfig) -> TSDFConfig:
+    """Duck-typed: also accepts FragmentPoseRefinementConfig (same fields).
+    TPU-only knobs fall back to TSDFConfig defaults when absent."""
     return TSDFConfig(
         voxel_size=config.voxel_size,
         block_resolution=config.block_resolution,
         block_count=config.block_count,
         depth_max=config.depth_max,
         trunc_voxel_multiplier=config.trunc_voxel_multiplier,
-        alloc_pixel_stride=alloc_pixel_stride,
+        alloc_pixel_stride=int(getattr(config, "alloc_pixel_stride", 2)),
+        grid_dim=int(getattr(config, "grid_dim", 160)),
+        chunk_active_capacity=int(getattr(config, "chunk_active_capacity", 12_288)),
+        integrate_tile=int(getattr(config, "integrate_tile", 512)),
     )
 
 

@@ -1,0 +1,223 @@
+"""Inter-fragment pose refinement: fragment TSDF point clouds + pairwise
+ICP + scene-level pose graph.
+
+Re-design of the reference's refine_fragment_poses (reference:
+scripts/processing/reconstruction/depth_optimization/
+refine_fragment_poses.py:14-321): each fragment integrates into its own
+small TSDF and extracts a point cloud; consecutive fragments contribute
+odometry edges, all pairs contribute loop edges (gated by a downsampled
+pre-filter), each edge's transform comes from multi-scale point-to-point
+ICP with a GTG information matrix; the optimized fragment deltas apply as
+world transforms to every member frame.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from tqdm import tqdm
+
+from mq3d_tpu.config.configs import FragmentPoseRefinementConfig
+from mq3d_tpu.dataio.depth_io import DepthDataIO
+from mq3d_tpu.dataio.ply import PointCloud
+from mq3d_tpu.dataio.recon_io import ReconstructionDataIO
+from mq3d_tpu.models.datasets import DepthDataset
+from mq3d_tpu.models.side import Side
+from mq3d_tpu.ops.icp import (
+    ICPConvergenceCriteria,
+    evaluate_registration,
+    get_information_matrix,
+    multi_scale_icp,
+    uniform_down_sample,
+)
+from mq3d_tpu.ops.posegraph import (
+    GlobalOptimizationOption,
+    PoseGraph,
+    PoseGraphEdge,
+    global_optimization,
+)
+from mq3d_tpu.recon.graph_utils import convert_pose_graph_to_transforms
+from mq3d_tpu.recon.integrate import integrate, tsdf_config_from_integration
+from mq3d_tpu.ops.tsdf import TSDFVolume
+
+
+def integrate_fragment_point_cloud(
+    depth_data_io: DepthDataIO,
+    frag_dataset: DepthDataset,
+    side: Side,
+    config: FragmentPoseRefinementConfig,
+) -> Optional[PointCloud]:
+    """One fragment -> TSDF -> surface point cloud
+    (reference refine_fragment_poses.py:14-58)."""
+    try:
+        vol = integrate(
+            dataset=frag_dataset,
+            depth_data_io=depth_data_io,
+            side=side,
+            config=config,
+            vbg_opt=TSDFVolume(tsdf_config_from_integration(config)),
+        )
+        pcd = vol.extract_point_cloud(weight_threshold=3.0)
+        if len(pcd) == 0:
+            print(f"[Warning] Fragment point cloud for {side.name} is empty.")
+            return None
+        return pcd
+    except Exception as e:
+        print(f"[Error] integrate_fragment_point_cloud failed for {side.name}: {e}")
+        return None
+
+
+def integrate_and_save_fragment_point_clouds(
+    depth_data_io: DepthDataIO,
+    recon_data_io: ReconstructionDataIO,
+    fragment_dataset_map: Dict[Side, List[DepthDataset]],
+    config: FragmentPoseRefinementConfig,
+) -> Dict[Side, int]:
+    """(reference refine_fragment_poses.py:61-119) — sequential (ordered)
+    fragment integration; returns per-side fragment counts."""
+    counts: Dict[Side, int] = {}
+    total, failed = 0, 0
+    for side, frag_datasets in fragment_dataset_map.items():
+        index = 0
+        for frag in tqdm(frag_datasets, desc=f"[{side.name}] Integrating fragments"):
+            pcd = integrate_fragment_point_cloud(depth_data_io, frag, side, config)
+            total += 1
+            if pcd is None:
+                failed += 1
+                continue
+            recon_data_io.save_fragment_pcd(pcd, side, index)
+            index += 1
+        counts[side] = index
+    if failed:
+        print(f"[Warning] {failed}/{total} fragment point clouds failed or were empty.")
+    if all(c == 0 for c in counts.values()):
+        raise RuntimeError("All fragments produced empty point clouds.")
+    return counts
+
+
+def compute_pcd_pair_edge(
+    recon_data_io: ReconstructionDataIO,
+    node_side_index_list: List[Tuple[Side, int]],
+    source_node_index: int,
+    target_node_index: int,
+    config: FragmentPoseRefinementConfig,
+    uncertain: bool,
+) -> Optional[PoseGraphEdge]:
+    """(reference refine_fragment_poses.py:122-193)."""
+    s_side, s_idx = node_side_index_list[source_node_index]
+    t_side, t_idx = node_side_index_list[target_node_index]
+    source = recon_data_io.load_fragment_pcd(s_side, s_idx).points
+    target = recon_data_io.load_fragment_pcd(t_side, t_idx).points
+
+    if config.use_pre_filtering and uncertain:
+        pre = evaluate_registration(
+            uniform_down_sample(source, config.pre_filter_every_k_points),
+            uniform_down_sample(target, config.pre_filter_every_k_points),
+            config.pre_filter_max_corr_dist,
+            np.eye(4),
+        )
+        if (
+            pre.fitness < config.pre_filter_fitness_threshold
+            or pre.inlier_rmse > config.pre_filter_inlier_rmse_threshold
+        ):
+            return None
+
+    criteria = [
+        ICPConvergenceCriteria(mi, rf, rr)
+        for mi, rf, rr in zip(
+            config.max_iterations, config.relative_fitnesses, config.relative_rmses
+        )
+    ]
+    icp = multi_scale_icp(
+        source, target,
+        voxel_sizes=list(config.icp_voxel_sizes),
+        criteria_list=criteria,
+        max_correspondence_distances=list(config.max_corr_dists),
+        init_source_to_target=np.eye(4),
+    )
+
+    converged = (
+        icp.fitness >= config.icp_fitness_threshold
+        or icp.inlier_rmse <= config.icp_inlier_rmse_threshold
+    )
+    if uncertain and not converged:
+        return None
+
+    info = get_information_matrix(
+        source, target, config.max_corr_dists[-1], icp.transformation
+    )
+    return PoseGraphEdge(
+        source_node_id=source_node_index,
+        target_node_id=target_node_index,
+        transformation=icp.transformation,
+        information=info,
+        uncertain=uncertain,
+    )
+
+
+def build_pose_graph_for_scene(
+    recon_data_io: ReconstructionDataIO,
+    fragment_counts: Dict[Side, int],
+    config: FragmentPoseRefinementConfig,
+) -> Tuple[PoseGraph, List[Tuple[Side, int]]]:
+    """(reference refine_fragment_poses.py:196-271)."""
+    pose_graph = PoseGraph()
+    node_side_index_list: List[Tuple[Side, int]] = []
+    node_map: Dict[Tuple[Side, int], int] = {}
+
+    node_index = 0
+    for side, count in fragment_counts.items():
+        for index in range(count):
+            node_side_index_list.append((side, index))
+            node_map[(side, index)] = node_index
+            pose_graph.nodes.append(np.eye(4))
+            node_index += 1
+
+    pairs = []
+    for side, count in fragment_counts.items():
+        pairs += [
+            (node_map[(side, i)], node_map[(side, i + 1)], False)
+            for i in range(count - 1)
+        ]
+    n = len(node_side_index_list)
+    pairs += [(i, j, True) for i, j in itertools.combinations(range(n), 2)]
+
+    edges = []
+    for s, t, unc in tqdm(pairs, desc="[Info] Computing pose-graph edges"):
+        e = compute_pcd_pair_edge(recon_data_io, node_side_index_list, s, t, config, unc)
+        if e is not None:
+            edges.append(e)
+    print(f"[Info] Valid edges: {len(edges)} / {len(pairs)}")
+    pose_graph.edges.extend(edges)
+    return pose_graph, node_side_index_list
+
+
+def refine_fragment_poses(
+    depth_data_io: DepthDataIO,
+    recon_data_io: ReconstructionDataIO,
+    fragment_dataset_map: Dict[Side, List[DepthDataset]],
+    config: FragmentPoseRefinementConfig,
+):
+    """(reference refine_fragment_poses.py:274-321)."""
+    fragment_counts = integrate_and_save_fragment_point_clouds(
+        depth_data_io, recon_data_io, fragment_dataset_map, config
+    )
+    pose_graph, node_side_index_list = build_pose_graph_for_scene(
+        recon_data_io, fragment_counts, config
+    )
+    option = GlobalOptimizationOption(
+        max_correspondence_distance=config.dist_threshold,
+        edge_prune_threshold=config.edge_prune_threshold,
+        reference_node=0,
+    )
+    global_optimization(pose_graph, option)
+
+    fragment_transforms = convert_pose_graph_to_transforms(pose_graph)
+    for node_index, (side, side_index) in enumerate(node_side_index_list):
+        frag = fragment_dataset_map[side][side_index]
+        frag.transforms = frag.transforms.apply_world_transform(
+            delta_position=fragment_transforms.positions[node_index],
+            delta_rotation=fragment_transforms.rotations[node_index],
+        )

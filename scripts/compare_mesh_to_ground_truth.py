@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""CLI: compare a reconstructed mesh/point cloud against ground truth
+(reference: analysis/computation/compare_mesh_to_ground_truth.py:139-343).
+
+Reports chamfer, Hausdorff, mean point-to-surface, F-score@tau (default 1%
+of the GT bbox diagonal), voxel IoU, surface area, and hole boundary count;
+optional center+ICP alignment before comparison.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mq3d_tpu.dataio.ply import TriangleMesh, read_ply
+from mq3d_tpu.eval.metrics import (
+    compare_point_clouds,
+    count_boundary_edges,
+    mesh_surface_area,
+    voxel_iou,
+)
+from mq3d_tpu.ops.icp import ICPConvergenceCriteria, multi_scale_icp
+from mq3d_tpu.ops.sampling import sample_points_uniformly
+
+
+def load_points(path: Path, n_samples: int):
+    geom = read_ply(path)
+    if isinstance(geom, TriangleMesh) and len(geom.triangles):
+        pcd = sample_points_uniformly(geom, n_samples)
+        return pcd.points, geom
+    return geom.points, None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pred", type=Path, required=True, help="reconstructed PLY")
+    parser.add_argument("--gt", type=Path, required=True, help="ground truth PLY")
+    parser.add_argument("--samples", type=int, default=100_000)
+    parser.add_argument("--align", action="store_true",
+                        help="center + ICP align pred to gt before comparing")
+    parser.add_argument("--fscore_tau", type=float, default=None)
+    parser.add_argument("--iou_voxel", type=float, default=0.05)
+    args = parser.parse_args()
+
+    pred_pts, pred_mesh = load_points(args.pred, args.samples)
+    gt_pts, gt_mesh = load_points(args.gt, args.samples)
+
+    if args.align:
+        shift = gt_pts.mean(0) - pred_pts.mean(0)
+        pred_pts = pred_pts + shift
+        diag = float(np.linalg.norm(gt_pts.max(0) - gt_pts.min(0)))
+        r = multi_scale_icp(
+            pred_pts, gt_pts,
+            voxel_sizes=[diag / 50, diag / 100],
+            criteria_list=[ICPConvergenceCriteria(30), ICPConvergenceCriteria(15)],
+            max_correspondence_distances=[diag / 10, diag / 25],
+        )
+        T = r.transformation
+        pred_pts = pred_pts @ T[:3, :3].T + T[:3, 3]
+
+    cmp = compare_point_clouds(pred_pts, gt_pts, fscore_threshold=args.fscore_tau)
+    out = {
+        "chamfer": cmp.chamfer,
+        "hausdorff": cmp.hausdorff,
+        "mean_to_gt": cmp.mean_to_gt,
+        "mean_from_gt": cmp.mean_from_gt,
+        "precision": cmp.precision,
+        "recall": cmp.recall,
+        "fscore": cmp.fscore,
+        "fscore_tau": cmp.threshold,
+        "voxel_iou": voxel_iou(pred_pts, gt_pts, args.iou_voxel),
+    }
+    if pred_mesh is not None:
+        out["pred_surface_area"] = mesh_surface_area(pred_mesh.vertices, pred_mesh.triangles)
+        out["pred_boundary_edges"] = count_boundary_edges(pred_mesh.triangles)
+    if gt_mesh is not None:
+        out["gt_surface_area"] = mesh_surface_area(gt_mesh.vertices, gt_mesh.triangles)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""CLI: full pipeline for one capture session with runtime accounting
+(reference: scripts/run_full_pipeline.py:23-345).
+
+Steps: session auto-selection by timestamped directory name, YUV->RGB,
+depth->linear, scene reconstruction (in-process — no subprocess isolation
+needed; everything is one JAX process), optional PLY->FBX conversion, and a
+pipeline_runtime.txt summary with seconds-per-capture.
+"""
+
+import argparse
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mq3d_tpu.models.side import Side
+from mq3d_tpu.pipeline.processor import PipelineProcessor
+
+SESSION_RE = re.compile(r"^\d{8}_\d{6}$")
+
+
+def find_latest_session(base_dir: Path) -> Path:
+    """Newest session dir named YYYYMMDD_HHMMSS (reference :23-29)."""
+    candidates = [
+        d for d in base_dir.iterdir() if d.is_dir() and SESSION_RE.match(d.name)
+    ]
+    if not candidates:
+        raise FileNotFoundError(f"No session directories under {base_dir}")
+    return max(candidates, key=lambda d: d.stat().st_mtime)
+
+
+def convert_reconstruction_mesh_to_fbx(project_dir: Path) -> bool:
+    from mq3d_tpu.export.fbx import convert_ply_to_fbx, fbx_available
+
+    mesh_path = project_dir / "reconstruction/color_mesh.ply"
+    if not mesh_path.exists():
+        print("[Warning] No colored mesh to convert to FBX.")
+        return False
+    if not fbx_available():
+        print("[Info] FBX backend unavailable; skipping PLY->FBX conversion.")
+        return False
+    out = mesh_path.with_suffix(".fbx")
+    convert_ply_to_fbx(mesh_path, out)
+    print(f"[Info] FBX written to {out}")
+    return True
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Run the full reconstruction pipeline")
+    parser.add_argument("--session_dir", type=Path, default=None,
+                        help="capture session directory")
+    parser.add_argument("--base_dir", type=Path, default=None,
+                        help="auto-select the newest session under this directory")
+    parser.add_argument("--config", type=Path,
+                        default=Path(__file__).resolve().parent.parent / "config/pipeline_config.yml")
+    parser.add_argument("--no-cache", action="store_true",
+                        help="force recomputation of all cached artifacts")
+    parser.add_argument("--export-fbx", action="store_true")
+    args = parser.parse_args()
+
+    if args.session_dir is not None:
+        session = args.session_dir
+    elif args.base_dir is not None:
+        session = find_latest_session(args.base_dir)
+        print(f"[Info] Auto-selected session: {session}")
+    else:
+        parser.error("Provide --session_dir or --base_dir")
+
+    t0 = time.time()
+    processor = PipelineProcessor(
+        project_dir=session, config_yml_path=args.config,
+        force_recompute=args.no_cache,
+    )
+    processor.run_full_pipeline()
+
+    if args.export_fbx:
+        convert_reconstruction_mesh_to_fbx(session)
+
+    elapsed = time.time() - t0
+    frame_counts = [
+        len(processor.data_io.color.get_rgb_timestamps(side)) for side in Side
+    ]
+    captures = max(max(frame_counts), 1)
+    summary = (
+        f"total_runtime_seconds: {elapsed:.1f}\n"
+        f"adjusted_runtime_seconds: {elapsed:.1f}\n"  # headless: no viewer time
+        f"captures: {captures}\n"
+        f"seconds_per_capture: {elapsed / captures:.3f}\n"
+    )
+    (session / "pipeline_runtime.txt").write_text(summary)
+    print("\n" + summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,11 +6,14 @@ import time (pytest loads conftest before any test module).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+# Force the CPU backend with 8 virtual devices (the env-var route is
+# overridden by the preinstalled TPU plugin, so use the config API).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: XLA compiles are expensive on this host;
 # cache them across test runs.
-import jax  # noqa: E402
-
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

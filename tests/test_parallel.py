@@ -1,0 +1,85 @@
+"""Multi-chip sharded TSDF tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from mq3d_tpu.ops.tsdf import TSDFConfig, TSDFVolume, create_state
+from mq3d_tpu.parallel.sharded import integrate_dataset_sharded
+
+CFG = TSDFConfig(
+    voxel_size=0.05,
+    block_resolution=16,
+    block_count=1024,
+    grid_dim=16,
+    depth_max=4.0,
+    trunc_voxel_multiplier=4.0,
+    chunk_active_capacity=1024,
+    integrate_tile=128,
+)
+
+
+def make_frames(n, h=32, w=40):
+    rng = np.random.default_rng(0)
+    depth = np.full((n, h, w), 2.0, np.float32)
+    depth += rng.uniform(-0.05, 0.05, depth.shape).astype(np.float32)
+    K = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    K[:, 0, 0] = K[:, 1, 1] = 30.0
+    K[:, 0, 2] = w / 2.0
+    K[:, 1, 2] = h / 2.0
+    T = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    T[:, 0, 3] = np.linspace(-0.2, 0.2, n)
+    valid = np.ones(n, bool)
+    return depth, K, T, valid
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.asarray(devs[:8]), axis_names=("data",))
+
+
+class TestShardedTSDF:
+    def test_matches_single_chip(self, mesh8):
+        depth, K, T, valid = make_frames(16)
+
+        state_sharded = integrate_dataset_sharded(
+            CFG, mesh8, depth, K, T, valid, frames_per_device_chunk=1
+        )
+
+        vol = TSDFVolume(CFG)
+        vol.integrate(depth[:8], K[:8], T[:8], valid[:8])
+        vol.integrate(depth[8:], K[8:], T[8:], valid[8:])
+        state_single = vol.state
+
+        assert int(state_sharded.n_active) == int(state_single.n_active)
+        n = int(state_single.n_active)
+        c1 = np.asarray(state_sharded.block_coords[:n])
+        c2 = np.asarray(state_single.block_coords[:n])
+        k1, k2 = np.lexsort(c1.T), np.lexsort(c2.T)
+        np.testing.assert_array_equal(c1[k1], c2[k2])
+        np.testing.assert_array_equal(
+            np.asarray(state_sharded.weight[:n])[k1],
+            np.asarray(state_single.weight[:n])[k2],
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_sharded.tsdf[:n])[k1],
+            np.asarray(state_single.tsdf[:n])[k2],
+            atol=1e-5,
+        )
+
+    def test_graft_entry(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert int(out.n_active) > 0
+
+    def test_graft_dryrun(self, mesh8):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

@@ -141,10 +141,9 @@ class TestDepth:
         np.testing.assert_allclose(back, z, rtol=1e-5)
 
     def test_zero_denominator_maps_to_zero(self):
-        near, far = 0.1, 5.0
-        x, y = depth_ops.ndc_to_linear_params(near, far)
-        d_singular = (1.0 - float(y)) / 2.0
-        out = depth_ops.convert_depth_to_linear(np.array([d_singular]), near, far)
+        # far = inf gives y = -1 exactly, so d = 1.0 makes the denominator
+        # 2d - 1 + y exactly zero in float; the guard must map it to 0.
+        out = depth_ops.convert_depth_to_linear(np.array([1.0]), 0.1, np.inf)
         assert out[0] == 0.0
 
     def test_validity_check(self):
