@@ -74,23 +74,56 @@ class DepthDataIO:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched loader: (N, H, W) float32 linear-depth stack + validity mask.
 
-        Invalid/missing frames become all-zero maps with valid=False; zero
-        depth is already "no data" downstream, so masking is intrinsic.
-        Requires uniform frame size within the requested range (true for QRC
-        captures).
+        Raw files are read in one native batched pass (native/mqio.cpp), then
+        validated and NDC-linearized as stacked array ops.  Invalid/missing
+        frames become all-zero maps with valid=False; zero depth is already
+        "no data" downstream.  Requires uniform frame size within the
+        requested range (true for QRC captures).
         """
+        from mq3d_tpu.utils.native import read_raw_batch
+
         if indices is None:
             indices = np.arange(len(dataset))
-        h = int(dataset.heights[indices[0]]) if len(indices) else 0
-        w = int(dataset.widths[indices[0]]) if len(indices) else 0
-        stack = np.zeros((len(indices), h, w), dtype=np.float32)
-        valid = np.zeros(len(indices), dtype=bool)
-        for out_i, i in enumerate(indices):
-            d = self.load_depth_map_by_index(side, dataset, int(i))
-            if d is not None and d.shape == (h, w):
-                stack[out_i] = d
-                valid[out_i] = True
-        return stack, valid
+        indices = np.asarray(indices, np.int64)
+        n = len(indices)
+        if n == 0:
+            return np.zeros((0, 0, 0), np.float32), np.zeros(0, bool)
+        h = int(dataset.heights[indices[0]])
+        w = int(dataset.widths[indices[0]])
+
+        uniform = bool(
+            (dataset.heights[indices] == h).all() and (dataset.widths[indices] == w).all()
+        )
+        if not uniform:
+            # Rare mixed-size fallback: per-frame loads.
+            stack = np.zeros((n, h, w), dtype=np.float32)
+            valid = np.zeros(n, dtype=bool)
+            for out_i, i in enumerate(indices):
+                d = self.load_depth_map_by_index(side, dataset, int(i))
+                if d is not None and d.shape == (h, w):
+                    stack[out_i] = d
+                    valid[out_i] = True
+            return stack, valid
+
+        paths = [
+            self.depth_path_config.get_depth_map_path(side, int(dataset.timestamps[i]))
+            for i in indices
+        ]
+        buf, ok = read_raw_batch(paths, h * w * 4)
+        raw = buf.view("<f4").reshape(n, h, w)
+
+        # Vectorized sensor-dropout validity (depth_data_io.py:80-85).
+        any_nonzero = (raw != 0).any(axis=(1, 2))
+        any_nonone = (raw != 1).any(axis=(1, 2))
+        no_nan = ~np.isnan(raw).any(axis=(1, 2))
+        non_negative = np.nanmin(np.where(np.isnan(raw), 0, raw), axis=(1, 2)) >= 0
+        valid = ok & any_nonzero & any_nonone & no_nan & non_negative
+
+        nears = dataset.nears[indices].astype(np.float64)
+        fars = dataset.fars[indices].astype(np.float64)
+        stack = np.asarray(convert_depth_to_linear(raw.astype(np.float64), nears, fars))
+        stack[~valid] = 0.0
+        return stack.astype(np.float32), valid
 
     # -- confidence maps ---------------------------------------------------------------
 

@@ -48,11 +48,17 @@ def imread_gray(path: Path) -> Optional[np.ndarray]:
 
 def imwrite(path: Path, img: np.ndarray):
     """Write an image; float arrays are rounded-and-clipped to uint8 the way
-    cv2.imwrite does (saturate_cast)."""
+    cv2.imwrite does (saturate_cast).  PNGs encode through the native zlib
+    writer (native/mqio.cpp) when available."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     if img.dtype != np.uint8:
         img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    if path.suffix.lower() == ".png":
+        from mq3d_tpu.utils.native import write_png
+
+        if write_png(path, img):
+            return
     if _HAS_CV2:
         ok = cv2.imwrite(str(path), img)
         if not ok:
