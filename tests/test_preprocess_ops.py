@@ -160,3 +160,19 @@ class TestDepth:
         d = np.array([0.0, 0.1, 2.55, 5.0, 99.0])
         out = np.asarray(depth_ops.linear_depth_to_png_values(d, 0.1, 5.0))
         assert out[0] == 0.0 and out[1] == 0.0 and out[3] == 255.0 and out[4] == 255.0
+
+
+class TestPallasYuv:
+    def test_pallas_kernel_matches_xla(self, rng):
+        """Pallas I420 kernel (interpret mode on CPU) is bit-exact with the
+        XLA path, including pad/crop handling of non-tile-aligned frames."""
+        from mq3d_tpu.ops.yuv_pallas import yuv420_to_bgr_pallas
+        from mq3d_tpu.ops.yuv import yuv420_to_8uc3
+
+        for h, w in [(64, 256), (48, 96)]:
+            y = rng.integers(0, 256, (h, w), np.uint8)
+            u = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+            v = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+            got = yuv420_to_bgr_pallas(y, u, v, interpret=True)
+            ref = np.asarray(yuv420_to_8uc3(y[None], u[None], v[None]))[0]
+            np.testing.assert_array_equal(got, ref)
