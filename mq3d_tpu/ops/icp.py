@@ -333,10 +333,12 @@ def get_information_matrix(
     target: np.ndarray,
     max_correspondence_distance: float,
     transformation: np.ndarray,
+    grid: Optional[GridNN] = None,
 ) -> np.ndarray:
     """Sum G^T G over corresponding target points (o3d
     GetInformationMatrixFromPointClouds semantics)."""
-    grid = build_grid_nn(target, max_correspondence_distance)
+    if grid is None:
+        grid = build_grid_nn(target, max_correspondence_distance)
     src_pad, n_src = _pad_src(np.asarray(source, np.float32))
     if n_src == 0 or grid.n_target == 0:
         return np.eye(6)

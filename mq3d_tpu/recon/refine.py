@@ -29,8 +29,9 @@ from mq3d_tpu.ops.icp import (
     ICPConvergenceCriteria,
     evaluate_registration,
     get_information_matrix,
-    multi_scale_icp,
+    registration_icp,
     uniform_down_sample,
+    voxel_down_sample,
 )
 from mq3d_tpu.ops.posegraph import (
     GlobalOptimizationOption,
@@ -97,8 +98,59 @@ def integrate_and_save_fragment_point_clouds(
     return counts
 
 
+class _FragmentCache:
+    """Per-fragment reusable registration assets: raw points, the ICP voxel
+    pyramid, and (for targets) the NN bucket grids per pyramid level.
+
+    The scene graph evaluates O(F^2) pairs; without caching, every pair
+    reloads and re-downsamples both clouds and rebuilds the target's NN grid
+    — the dominant host cost of the stage.
+    """
+
+    def __init__(self, recon_data_io: ReconstructionDataIO,
+                 config: FragmentPoseRefinementConfig):
+        self.io = recon_data_io
+        self.config = config
+        self.points: dict = {}
+        self.pyramids: dict = {}
+        self.grids: dict = {}
+
+    def get_points(self, key: Tuple[Side, int]) -> np.ndarray:
+        if key not in self.points:
+            self.points[key] = self.io.load_fragment_pcd(*key).points
+        return self.points[key]
+
+    def get_pyramid(self, key) -> List[np.ndarray]:
+        if key not in self.pyramids:
+            pts = self.get_points(key)
+            self.pyramids[key] = [
+                voxel_down_sample(pts, v) for v in self.config.icp_voxel_sizes
+            ]
+        return self.pyramids[key]
+
+    def get_grid(self, key, level: int):
+        from mq3d_tpu.ops.icp import build_grid_nn
+
+        gkey = (key, level)
+        if gkey not in self.grids:
+            self.grids[gkey] = build_grid_nn(
+                self.get_pyramid(key)[level], self.config.max_corr_dists[level]
+            )
+        return self.grids[gkey]
+
+    def get_full_grid(self, key):
+        from mq3d_tpu.ops.icp import build_grid_nn
+
+        gkey = (key, "full")
+        if gkey not in self.grids:
+            self.grids[gkey] = build_grid_nn(
+                self.get_points(key), self.config.max_corr_dists[-1]
+            )
+        return self.grids[gkey]
+
+
 def compute_pcd_pair_edge(
-    recon_data_io: ReconstructionDataIO,
+    cache: "_FragmentCache",
     node_side_index_list: List[Tuple[Side, int]],
     source_node_index: int,
     target_node_index: int,
@@ -106,10 +158,10 @@ def compute_pcd_pair_edge(
     uncertain: bool,
 ) -> Optional[PoseGraphEdge]:
     """(reference refine_fragment_poses.py:122-193)."""
-    s_side, s_idx = node_side_index_list[source_node_index]
-    t_side, t_idx = node_side_index_list[target_node_index]
-    source = recon_data_io.load_fragment_pcd(s_side, s_idx).points
-    target = recon_data_io.load_fragment_pcd(t_side, t_idx).points
+    s_key = node_side_index_list[source_node_index]
+    t_key = node_side_index_list[target_node_index]
+    source = cache.get_points(s_key)
+    target = cache.get_points(t_key)
 
     if config.use_pre_filtering and uncertain:
         pre = evaluate_registration(
@@ -130,13 +182,21 @@ def compute_pcd_pair_edge(
             config.max_iterations, config.relative_fitnesses, config.relative_rmses
         )
     ]
-    icp = multi_scale_icp(
-        source, target,
-        voxel_sizes=list(config.icp_voxel_sizes),
-        criteria_list=criteria,
-        max_correspondence_distances=list(config.max_corr_dists),
-        init_source_to_target=np.eye(4),
-    )
+    # Multi-scale ICP over the cached pyramids/grids.
+    T = np.eye(4)
+    icp = None
+    for level, (crit, max_corr) in enumerate(
+        zip(criteria, config.max_corr_dists)
+    ):
+        icp = registration_icp(
+            cache.get_pyramid(s_key)[level],
+            cache.get_pyramid(t_key)[level],
+            max_corr,
+            init=T,
+            criteria=crit,
+            grid=cache.get_grid(t_key, level),
+        )
+        T = icp.transformation
 
     converged = (
         icp.fitness >= config.icp_fitness_threshold
@@ -146,7 +206,8 @@ def compute_pcd_pair_edge(
         return None
 
     info = get_information_matrix(
-        source, target, config.max_corr_dists[-1], icp.transformation
+        source, target, config.max_corr_dists[-1], icp.transformation,
+        grid=cache.get_full_grid(t_key),
     )
     return PoseGraphEdge(
         source_node_id=source_node_index,
@@ -184,9 +245,10 @@ def build_pose_graph_for_scene(
     n = len(node_side_index_list)
     pairs += [(i, j, True) for i, j in itertools.combinations(range(n), 2)]
 
+    cache = _FragmentCache(recon_data_io, config)
     edges = []
     for s, t, unc in tqdm(pairs, desc="[Info] Computing pose-graph edges"):
-        e = compute_pcd_pair_edge(recon_data_io, node_side_index_list, s, t, config, unc)
+        e = compute_pcd_pair_edge(cache, node_side_index_list, s, t, config, unc)
         if e is not None:
             edges.append(e)
     print(f"[Info] Valid edges: {len(edges)} / {len(pairs)}")

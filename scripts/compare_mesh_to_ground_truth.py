@@ -44,6 +44,10 @@ def main():
                         help="center + ICP align pred to gt before comparing")
     parser.add_argument("--fscore_tau", type=float, default=None)
     parser.add_argument("--iou_voxel", type=float, default=0.05)
+    parser.add_argument("--heatmap", type=Path, default=None,
+                        help="write an error-colored point cloud PLY")
+    parser.add_argument("--html", type=Path, default=None,
+                        help="write an HTML report")
     args = parser.parse_args()
 
     pred_pts, pred_mesh = load_points(args.pred, args.samples)
@@ -80,6 +84,31 @@ def main():
     if gt_mesh is not None:
         out["gt_surface_area"] = mesh_surface_area(gt_mesh.vertices, gt_mesh.triangles)
     print(json.dumps(out, indent=2))
+
+    if args.heatmap is not None:
+        # Error heatmap: pred points colored blue(=0) -> red(>= 3*tau)
+        # (reference compare_mesh_to_ground_truth.py:876-1157).
+        from mq3d_tpu.dataio.ply import PointCloud, write_ply_pointcloud
+        from mq3d_tpu.eval.metrics import nearest_distances
+
+        d = nearest_distances(pred_pts, gt_pts)
+        t = np.clip(d / (3 * cmp.threshold), 0, 1)
+        colors = np.stack([t, np.zeros_like(t), 1 - t], -1)
+        write_ply_pointcloud(args.heatmap, PointCloud(pred_pts, colors=colors))
+        print(f"[Info] Error heatmap written to {args.heatmap}")
+
+    if args.html is not None:
+        rows = "".join(
+            f"<tr><td>{k}</td><td>{v:.6g}</td></tr>"
+            if isinstance(v, float) else f"<tr><td>{k}</td><td>{v}</td></tr>"
+            for k, v in out.items()
+        )
+        args.html.write_text(
+            "<html><body><h1>Mesh vs ground truth</h1>"
+            f"<p>pred: {args.pred}<br>gt: {args.gt}</p>"
+            f"<table border=1>{rows}</table></body></html>"
+        )
+        print(f"[Info] HTML report written to {args.html}")
 
 
 if __name__ == "__main__":
