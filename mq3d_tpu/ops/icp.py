@@ -204,6 +204,101 @@ def _corr_reduce(
     return n_in, sse, sum_p.astype(jnp.float64), sum_q.astype(jnp.float64), outer, sum_ppT
 
 
+def _horn_rotation(H):
+    """Optimal rotation from a 3x3 cross-covariance via Horn's quaternion
+    method: the max-eigenvector of a symmetric 4x4 (device-friendly —
+    jnp.linalg.eigh on a 4x4 instead of a host SVD)."""
+    S = H
+    tr = S[0, 0] + S[1, 1] + S[2, 2]
+    N = jnp.array(
+        [
+            [tr, S[1, 2] - S[2, 1], S[2, 0] - S[0, 2], S[0, 1] - S[1, 0]],
+            [S[1, 2] - S[2, 1], 2 * S[0, 0] - tr, S[0, 1] + S[1, 0], S[0, 2] + S[2, 0]],
+            [S[2, 0] - S[0, 2], S[0, 1] + S[1, 0], 2 * S[1, 1] - tr, S[1, 2] + S[2, 1]],
+            [S[0, 1] - S[1, 0], S[0, 2] + S[2, 0], S[1, 2] + S[2, 1], 2 * S[2, 2] - tr],
+        ]
+    )
+    _, vecs = jnp.linalg.eigh(N)
+    q = vecs[:, -1]  # (w, x, y, z), max eigenvalue
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    R = jnp.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    return R
+
+
+@partial(
+    jax.jit,
+    static_argnames=("capacity", "max_iteration"),
+)
+def _icp_level_device(
+    src, n_src, target, table, gmin, dims, cell, max_corr, T0,
+    relative_fitness, relative_rmse,
+    capacity: int, max_iteration: int,
+):
+    """Full point-to-point ICP at one pyramid level in ONE device launch:
+    while_loop over {NN query -> masked moments -> Horn update -> convergence
+    check}.  Avoids a host round trip per iteration."""
+
+    def corr_stats(T):
+        idx, dist = _nn_query(src, T, target, table, gmin, dims, cell, capacity)
+        npts = src.shape[0]
+        in_src = jnp.arange(npts) < n_src
+        inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
+        Tf = T.astype(jnp.float32)
+        p = src @ Tf[:3, :3].T + Tf[:3, 3]
+        q = target[jnp.maximum(idx, 0)]
+        p = jnp.where(inlier[:, None], p, 0.0)
+        q = jnp.where(inlier[:, None], q, 0.0)
+        n_in = jnp.sum(inlier)
+        sse = jnp.sum(jnp.where(inlier, dist ** 2, 0.0))
+        return n_in, sse, jnp.sum(p, 0), jnp.sum(q, 0), p.T @ q
+
+    def cond(carry):
+        T, prev_f, prev_r, it, done = carry
+        return (~done) & (it < max_iteration)
+
+    def body(carry):
+        T, prev_f, prev_r, it, _ = carry
+        n_in, sse, sum_p, sum_q, outer = corr_stats(T)
+        nf = jnp.maximum(n_in, 1).astype(jnp.float32)
+        fitness = (n_in / jnp.maximum(n_src, 1)).astype(jnp.float32)
+        rmse = jnp.sqrt(sse / nf).astype(jnp.float32)
+
+        cp = sum_p / nf
+        cq = sum_q / nf
+        H = outer / nf - jnp.outer(cp, cq)
+        R = _horn_rotation(H.astype(jnp.float64)).astype(jnp.float64)
+        t = cq.astype(jnp.float64) - R @ cp.astype(jnp.float64)
+        delta = jnp.eye(4, dtype=jnp.float64).at[:3, :3].set(R).at[:3, 3].set(t)
+        T_new = jnp.where(n_in >= 3, delta @ T, T)
+
+        converged = (
+            (it > 0)
+            & (jnp.abs(fitness - prev_f) < relative_fitness)
+            & (jnp.abs(rmse - prev_r) < relative_rmse)
+        )
+        done = converged | (n_in < 3)
+        return (T_new, fitness, rmse, it + 1, done)
+
+    init = (
+        T0.astype(jnp.float64),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    T, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    n_in, sse, _, _, _ = corr_stats(T)
+    fitness = (n_in / jnp.maximum(n_src, 1)).astype(jnp.float32)
+    rmse = jnp.sqrt(sse / jnp.maximum(n_in, 1).astype(jnp.float32)).astype(jnp.float32)
+    return T, fitness, rmse, n_in
+
+
 @dataclass
 class RegistrationResult:
     transformation: np.ndarray
@@ -248,7 +343,9 @@ def registration_icp(
     criteria: Optional[ICPConvergenceCriteria] = None,
     grid: Optional[GridNN] = None,
 ) -> RegistrationResult:
-    """Point-to-point ICP (TransformationEstimationPointToPoint)."""
+    """Point-to-point ICP (TransformationEstimationPointToPoint).
+
+    The entire iteration loop runs in one device launch (_icp_level_device)."""
     criteria = criteria or ICPConvergenceCriteria()
     T = np.eye(4) if init is None else np.asarray(init, np.float64)
     if grid is None:
@@ -257,39 +354,17 @@ def registration_icp(
     if n_src == 0 or grid.n_target == 0:
         return RegistrationResult(T)
 
-    prev_fitness, prev_rmse = 0.0, 0.0
-    fitness, rmse, n_in = 0.0, 0.0, 0
-    for it in range(criteria.max_iteration):
-        n_in, sse, sum_p, sum_q, outer, _ = _stats(grid, src_pad, n_src, T, max_correspondence_distance)
-        if n_in < 3:
-            break
-        fitness = n_in / n_src
-        rmse = float(np.sqrt(sse / n_in))
-
-        # Kabsch from reduced moments: cross-covariance of (p - cp, q - cq).
-        cp = sum_p / n_in
-        cq = sum_q / n_in
-        H = outer / n_in - np.outer(cp, cq)
-        U, S, Vt = np.linalg.svd(H)
-        d = np.sign(np.linalg.det(Vt.T @ U.T))
-        D = np.diag([1.0, 1.0, d])
-        R = Vt.T @ D @ U.T
-        t = cq - R @ cp
-        delta = np.eye(4)
-        delta[:3, :3] = R
-        delta[:3, 3] = t
-        T = delta @ T
-
-        if it > 0 and abs(fitness - prev_fitness) < criteria.relative_fitness \
-                and abs(rmse - prev_rmse) < criteria.relative_rmse:
-            break
-        prev_fitness, prev_rmse = fitness, rmse
-
-    # Final evaluation at the converged transform.
-    n_in, sse, *_ = _stats(grid, src_pad, n_src, T, max_correspondence_distance)
-    fitness = n_in / n_src if n_src else 0.0
-    rmse = float(np.sqrt(sse / n_in)) if n_in else 0.0
-    return RegistrationResult(T, fitness, rmse, n_in)
+    T_out, fitness, rmse, n_in = _icp_level_device(
+        jnp.asarray(src_pad), jnp.asarray(n_src), jnp.asarray(grid.target),
+        jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+        jnp.float32(grid.cell), jnp.float32(max_correspondence_distance),
+        jnp.asarray(T, jnp.float64),
+        jnp.float32(criteria.relative_fitness), jnp.float32(criteria.relative_rmse),
+        capacity=grid.capacity, max_iteration=int(criteria.max_iteration),
+    )
+    return RegistrationResult(
+        np.asarray(T_out), float(fitness), float(rmse), int(n_in)
+    )
 
 
 def multi_scale_icp(

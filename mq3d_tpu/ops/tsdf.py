@@ -448,9 +448,6 @@ class TSDFVolume:
             return PointCloud(points=np.zeros((0, 3)))
         coords, ext_t, ext_v = self._extended_fields(weight_threshold)
 
-        base = coords[:, None, None, None, :] * R + np.stack(
-            np.meshgrid(np.arange(R), np.arange(R), np.arange(R), indexing="ij"), -1
-        )[None]
         t0 = ext_t[:, :R, :R, :R]
         v0 = ext_v[:, :R, :R, :R]
 
@@ -467,7 +464,11 @@ class TSDFVolume:
             a = t0[idx]
             b = t1[idx]
             frac = a / (a - b)
-            p = base[idx].astype(np.float64)
+            # Positions only at crossing voxels (avoids materializing the
+            # full (n, R^3, 3) lattice on the host).
+            p = (
+                coords[idx[0]] * R + np.stack(idx[1:], axis=-1)
+            ).astype(np.float64)
             p[:, axis] += frac
             pts.append(p * cfg.voxel_size)
             # Normal from tsdf gradient (sign: outward = increasing tsdf).

@@ -200,6 +200,13 @@ def estimate_depth_confidences(
 
         depth_stack, frame_valid = depth_data_io.load_depth_stack(side, dataset)
 
+        # Stage the whole sequence in HBM once; batches only ship indices.
+        depth_dev = jnp.asarray(depth_stack)
+        K_dev = jnp.asarray(K)
+        T_cw_dev = jnp.asarray(T_cw)
+        T_wc_dev = jnp.asarray(T_wc)
+        valid_dev = jnp.asarray(frame_valid)
+
         B = max(1, int(config.frames_per_batch))
         for s in tqdm(
             range(0, len(todo), B),
@@ -208,11 +215,11 @@ def estimate_depth_confidences(
             batch = todo[s : s + B]
             refs = np.asarray(batch + [batch[-1]] * (B - len(batch)), np.int32)
             conf, cnt = confidence_for_refs(
-                jnp.asarray(depth_stack),
-                jnp.asarray(K),
-                jnp.asarray(T_cw),
-                jnp.asarray(T_wc),
-                jnp.asarray(frame_valid),
+                depth_dev,
+                K_dev,
+                T_cw_dev,
+                T_wc_dev,
+                valid_dev,
                 jnp.asarray(refs),
                 depth_max=float(config.depth_max),
                 error_threshold=float(config.error_threshold),

@@ -59,6 +59,8 @@ def main():
     parser.add_argument("--no-cache", action="store_true",
                         help="force recomputation of all cached artifacts")
     parser.add_argument("--export-fbx", action="store_true")
+    parser.add_argument("--profile", type=Path, default=None,
+                        help="capture a jax.profiler trace into this directory")
     args = parser.parse_args()
 
     if args.session_dir is not None:
@@ -69,15 +71,38 @@ def main():
     else:
         parser.error("Provide --session_dir or --base_dir")
 
+    from mq3d_tpu.utils.log import StageTimer
+
+    profiler_active = False
+    if args.profile is not None:
+        import jax
+
+        args.profile.mkdir(parents=True, exist_ok=True)
+        jax.profiler.start_trace(str(args.profile))
+        profiler_active = True
+
     t0 = time.time()
+    timer = StageTimer()
     processor = PipelineProcessor(
         project_dir=session, config_yml_path=args.config,
         force_recompute=args.no_cache,
     )
-    processor.run_full_pipeline()
+    with timer.stage("convert_yuv_to_rgb"):
+        processor.convert_yuv_to_rgb()
+    with timer.stage("convert_depth_to_linear"):
+        processor.convert_depth_to_linear()
+    with timer.stage("reconstruct_scene"):
+        processor.reconstruct_scene()
 
     if args.export_fbx:
-        convert_reconstruction_mesh_to_fbx(session)
+        with timer.stage("export_fbx"):
+            convert_reconstruction_mesh_to_fbx(session)
+
+    if profiler_active:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"[Info] Profiler trace written to {args.profile}")
 
     elapsed = time.time() - t0
     frame_counts = [
@@ -89,6 +114,8 @@ def main():
         f"adjusted_runtime_seconds: {elapsed:.1f}\n"  # headless: no viewer time
         f"captures: {captures}\n"
         f"seconds_per_capture: {elapsed / captures:.3f}\n"
+        "per_stage_seconds:\n"
+        + "".join(f"  {name}: {dt:.1f}\n" for name, dt in timer.records)
     )
     (session / "pipeline_runtime.txt").write_text(summary)
     print("\n" + summary)
