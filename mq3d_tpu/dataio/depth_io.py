@@ -28,6 +28,9 @@ class DepthDataIO:
         self.depth_path_config = depth_path_config
         self.depth_descriptors: Dict[Side, "object"] = {}
         self.depth_datasets: Dict[Side, DepthDataset] = {}
+        # Confidence maps are consumed by several stages (fragments,
+        # refinement, integration) for the same frames; cache decoded maps.
+        self._confidence_cache: Dict[tuple, Optional[ConfidenceMap]] = {}
 
     # -- descriptors -------------------------------------------------------------
 
@@ -131,16 +134,22 @@ class DepthDataIO:
         return self.depth_path_config.get_depth_confidence_map_dir_path(side).exists()
 
     def load_confidence_map(self, side: Side, timestamp: int) -> Optional[ConfidenceMap]:
+        key = (side, int(timestamp))
+        if key in self._confidence_cache:
+            return self._confidence_cache[key]
         path = self.depth_path_config.get_depth_confidence_map_path(side, timestamp)
+        out = None
         if path.exists():
             try:
                 data = np.load(path)
-                return ConfidenceMap(
+                out = ConfidenceMap(
                     confidence_map=data["confidence_map"], valid_count=data["valid_count"]
                 )
             except Exception as e:
                 print(f"[Error] Failed to load confidence map {side.name}@{timestamp}: {e}")
-        return None
+        if out is not None:
+            self._confidence_cache[key] = out
+        return out
 
     def save_confidence_map(self, side: Side, timestamp: int, confidence_map: ConfidenceMap):
         path = self.depth_path_config.get_depth_confidence_map_path(side, timestamp)
@@ -150,6 +159,7 @@ class DepthDataIO:
             confidence_map=confidence_map.confidence_map,
             valid_count=confidence_map.valid_count,
         )
+        self._confidence_cache[(side, int(timestamp))] = confidence_map
 
     # -- datasets ------------------------------------------------------------------------
 
