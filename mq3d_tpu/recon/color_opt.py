@@ -205,6 +205,7 @@ def optimize_color_pose(
             cnt = cnt + ok.astype(jnp.float32)
         return acc / jnp.maximum(cnt, 1.0), cnt
 
+    prev_res = np.inf
     for it in range(max(config.max_iteration, 1)):
         target_c, cnt = vertex_targets()
         total_res = 0.0
@@ -225,6 +226,10 @@ def optimize_color_pose(
             total_res += float(res)
         if it % 10 == 0:
             print(f"[ColorOpt] iter {it}: residual {total_res:.4f}")
+        if abs(prev_res - total_res) < 1e-6 * max(total_res, 1e-12):
+            print(f"[ColorOpt] converged at iter {it}: residual {total_res:.4f}")
+            break
+        prev_res = total_res
 
     # --- bake vertex colors ----------------------------------------------------
     acc = jnp.zeros((verts.shape[0], 3), jnp.float32)

@@ -128,13 +128,27 @@ class _FragmentCache:
             ]
         return self.pyramids[key]
 
+    @staticmethod
+    def _to_device(grid):
+        """Park the grid arrays in HBM once; jnp.asarray on an already-device
+        array is a no-op, so every pair reusing this grid skips the upload."""
+        import jax.numpy as jnp
+
+        grid.target = jnp.asarray(grid.target)
+        grid.table = jnp.asarray(grid.table)
+        grid.gmin = jnp.asarray(grid.gmin)
+        grid.dims = jnp.asarray(grid.dims)
+        return grid
+
     def get_grid(self, key, level: int):
         from mq3d_tpu.ops.icp import build_grid_nn
 
         gkey = (key, level)
         if gkey not in self.grids:
-            self.grids[gkey] = build_grid_nn(
-                self.get_pyramid(key)[level], self.config.max_corr_dists[level]
+            self.grids[gkey] = self._to_device(
+                build_grid_nn(
+                    self.get_pyramid(key)[level], self.config.max_corr_dists[level]
+                )
             )
         return self.grids[gkey]
 
@@ -143,8 +157,8 @@ class _FragmentCache:
 
         gkey = (key, "full")
         if gkey not in self.grids:
-            self.grids[gkey] = build_grid_nn(
-                self.get_points(key), self.config.max_corr_dists[-1]
+            self.grids[gkey] = self._to_device(
+                build_grid_nn(self.get_points(key), self.config.max_corr_dists[-1])
             )
         return self.grids[gkey]
 
