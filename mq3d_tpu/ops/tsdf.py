@@ -293,6 +293,123 @@ def integrate_chunk(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_bucket", "max_points"))
+def _extract_points_jit(
+    cfg: TSDFConfig, state: TSDFState, weight_threshold, n_bucket: int,
+    max_points: int,
+):
+    """Device zero-crossing point extraction with fixed-capacity compaction.
+
+    Processes blocks [0, n_bucket); per block tile, finds +x/+y/+z sign
+    changes between valid voxels (weight > threshold on both sides, neighbor
+    faces gathered via the slot table), interpolates crossing positions and
+    in-block gradient normals, and rank-scatters them into (max_points, 3)
+    output buffers.  Returns (points, normals, count).
+    """
+    R = cfg.block_resolution
+    G = cfg.grid_dim
+    cap = cfg.block_count
+    vs = cfg.voxel_size
+    TB = min(512, n_bucket)
+    n_tiles = n_bucket // TB
+
+    tsdf_all = state.tsdf
+    wgt_all = state.weight
+
+    axes_e = np.eye(3, dtype=np.int32)
+
+    # Local voxel coordinates of a tile: (R^3,) each.
+    lx = jnp.asarray(_voxel_offsets(R))  # (R^3, 3)
+
+    def tile_body(t, carry):
+        out_p, out_n, total = carry
+        start = t * TB
+        slots = jnp.arange(TB, dtype=jnp.int32) + start
+        block_ok = slots < state.n_active
+        coords = jax.lax.dynamic_slice(state.block_coords, (start, 0), (TB, 3))
+        t0 = jax.lax.dynamic_slice(tsdf_all, (start, 0), (TB, cfg.r3)).reshape(
+            TB, R, R, R
+        )
+        w0 = jax.lax.dynamic_slice(wgt_all, (start, 0), (TB, cfg.r3)).reshape(
+            TB, R, R, R
+        )
+        v0 = w0 > weight_threshold
+
+        # In-block clamped central-difference gradients (normal field).
+        def grad(axis):
+            up = jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(t0, 1, R, axis=axis + 1),
+                    jax.lax.slice_in_dim(t0, R - 1, R, axis=axis + 1),
+                ],
+                axis=axis + 1,
+            )
+            dn = jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(t0, 0, 1, axis=axis + 1),
+                    jax.lax.slice_in_dim(t0, 0, R - 1, axis=axis + 1),
+                ],
+                axis=axis + 1,
+            )
+            return up - dn
+
+        normal = jnp.stack([grad(0), grad(1), grad(2)], axis=-1)  # (TB,R,R,R,3)
+
+        for axis in range(3):
+            nb_coords = coords + jnp.asarray(axes_e[axis])
+            nb_key = _block_keys(nb_coords, G)
+            nb_slot = state.slot_table[jnp.minimum(nb_key, G ** 3 - 1)]
+            nb_ok = (nb_key < G ** 3) & (nb_slot >= 0)
+            nb_slot_safe = jnp.where(nb_ok, nb_slot, cap)
+            nb_t = tsdf_all[nb_slot_safe].reshape(TB, R, R, R)
+            nb_w = wgt_all[nb_slot_safe].reshape(TB, R, R, R)
+            nb_face_t = jax.lax.slice_in_dim(nb_t, 0, 1, axis=axis + 1)
+            nb_face_v = (
+                jax.lax.slice_in_dim(nb_w, 0, 1, axis=axis + 1) > weight_threshold
+            ) & nb_ok[:, None, None, None]
+
+            t1 = jnp.concatenate(
+                [jax.lax.slice_in_dim(t0, 1, R, axis=axis + 1), nb_face_t],
+                axis=axis + 1,
+            )
+            v1 = jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(v0, 1, R, axis=axis + 1)
+                    & jnp.ones_like(nb_face_v),
+                    nb_face_v,
+                ],
+                axis=axis + 1,
+            )
+            cross = v0 & v1 & (t0 * t1 < 0) & block_ok[:, None, None, None]
+
+            a = t0
+            b = t1
+            denom = a - b
+            frac = jnp.where(jnp.abs(denom) > 1e-20, a / jnp.where(denom == 0, 1.0, denom), 0.5)
+
+            base = (coords * R)[:, None, :] + lx[None, :, :]  # (TB, R^3, 3)
+            pos = base.astype(jnp.float32).reshape(TB, R, R, R, 3)
+            pos = pos.at[..., axis].add(jnp.clip(frac, 0.0, 1.0))
+            pos = pos * vs
+
+            flat_cross = cross.reshape(-1)
+            rank = jnp.cumsum(flat_cross.astype(jnp.int32))
+            idx = jnp.where(flat_cross, total + rank - 1, max_points)
+            idx = jnp.where(idx < max_points, idx, max_points)
+            out_p = out_p.at[idx].set(pos.reshape(-1, 3), mode="drop")
+            out_n = out_n.at[idx].set(normal.reshape(-1, 3), mode="drop")
+            total = total + rank[-1]
+
+        return (out_p, out_n, total)
+
+    out_p = jnp.zeros((max_points + 1, 3), jnp.float32)
+    out_n = jnp.zeros((max_points + 1, 3), jnp.float32)
+    out_p, out_n, total = jax.lax.fori_loop(
+        0, n_tiles, tile_body, (out_p, out_n, jnp.asarray(0, jnp.int32))
+    )
+    return out_p[:max_points], out_n[:max_points], total
+
+
 # ---------------------------------------------------------------------------
 # Host-side volume wrapper with persistence + extraction
 # ---------------------------------------------------------------------------
@@ -439,9 +556,23 @@ class TSDFVolume:
             ext_v[(slice(None),) + dst] = v_nb & has[:, None, None, None]
         return coords, ext_t, ext_v
 
-    def extract_point_cloud(self, weight_threshold: float = 3.0) -> PointCloud:
+    def extract_point_cloud(
+        self, weight_threshold: float = 3.0, device: bool = True,
+        max_points: int = 2_097_152,
+    ) -> PointCloud:
         """Surface points at tsdf zero crossings along +x/+y/+z voxel edges
-        (Open3D VBG.extract_point_cloud semantics)."""
+        (Open3D VBG.extract_point_cloud semantics).
+
+        `device=True` runs the crossing search + compaction on the TPU and
+        ships only the compacted points; the numpy path remains as the
+        arbitrarily-sized fallback.
+        """
+        if device and self.n_active > 0:
+            try:
+                return self._extract_point_cloud_device(weight_threshold, max_points)
+            except Exception as e:  # pragma: no cover
+                print(f"[Warning] device point extraction failed ({e}); "
+                      "falling back to host")
         cfg = self.cfg
         R = cfg.block_resolution
         if self.n_active == 0:
@@ -575,6 +706,27 @@ class TSDFVolume:
         mesh = TriangleMesh(vertices=verts, triangles=triangles)
         mesh.vertex_normals = _mesh_vertex_normals(verts, triangles)
         return mesh
+
+    def _extract_point_cloud_device(
+        self, weight_threshold: float, max_points: int
+    ) -> PointCloud:
+        n_bucket = 256
+        while n_bucket < self.n_active:
+            n_bucket *= 2
+        n_bucket = min(n_bucket, self.cfg.block_count)
+        pts, nrm, count = _extract_points_jit(
+            self.cfg, self.state, jnp.float32(weight_threshold),
+            n_bucket, max_points,
+        )
+        c = int(count)
+        if c > max_points:
+            print(f"[Warning] point extraction truncated: {c} > {max_points}")
+            c = max_points
+        points = np.asarray(pts[:c], np.float64)
+        normals = np.asarray(nrm[:c], np.float64)
+        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = normals / np.maximum(norm, 1e-12)
+        return PointCloud(points=points, normals=normals)
 
     def _sample_tsdf_pairs(self, g: np.ndarray, axis: np.ndarray):
         """tsdf values at lattice voxel g and its +1 neighbor along axis."""

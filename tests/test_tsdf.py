@@ -185,3 +185,18 @@ class TestIntegration:
         w2 = np.asarray(v2.state.weight[: v2.n_active])[k2]
         np.testing.assert_array_equal(w1, w2)
         np.testing.assert_allclose(t1, t2, atol=1e-5)
+
+
+class TestDeviceExtraction:
+    def test_device_matches_host_extraction(self, volume):
+        vol, cfg = volume
+        host = vol.extract_point_cloud(weight_threshold=1.5, device=False)
+        dev = vol.extract_point_cloud(weight_threshold=1.5, device=True)
+        assert len(dev) == len(host)
+        # Same point sets (ordering differs; device computes positions in
+        # f32, host in f64): every point must have a sub-micron counterpart.
+        from scipy.spatial import cKDTree
+
+        d1, _ = cKDTree(host.points).query(dev.points)
+        d2, _ = cKDTree(dev.points).query(host.points)
+        assert d1.max() < 2e-6 and d2.max() < 2e-6
