@@ -410,6 +410,203 @@ def _extract_points_jit(
     return out_p[:max_points], out_n[:max_points], total
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_bucket", "max_verts", "max_tris"))
+def _extract_mesh_jit(
+    cfg: TSDFConfig, state: TSDFState, weight_threshold,
+    n_bucket: int, max_verts: int, max_tris: int,
+):
+    """Device marching cubes with edge-key welding.
+
+    Per block tile: build the (R+1)^3 extended tsdf/valid fields from the
+    7 positive neighbors, emit (a) crossing-edge vertices with compact
+    int32 keys (owner_slot * R^3 + owner_voxel) * 4 + axis and (b) triangles
+    as edge-key triples from the generated MC table; then resolve keys ->
+    vertex ids with one sort + searchsorted.  Everything is fixed-capacity
+    rank-scatter compaction; returns (verts, vkeys, tris_keys, n_verts,
+    n_tris) plus resolved triangle indices.
+    """
+    R = cfg.block_resolution
+    G = cfg.grid_dim
+    cap = cfg.block_count
+    vs = cfg.voxel_size
+    TB = min(128, n_bucket)
+    n_tiles = n_bucket // TB
+    R3 = cfg.r3
+
+    from mq3d_tpu.ops.mc_tables import CORNERS, build_tables, edge_owner
+
+    tri_table, _ = build_tables()
+    tri_table_dev = jnp.asarray(tri_table[:, :15].reshape(256, 5, 3))  # edge ids
+    owner = edge_owner()  # (12, 4): (dx, dy, dz, axis)
+    owner_dev = jnp.asarray(owner.astype(np.int32))
+    corners_np = CORNERS  # (8, 3)
+
+    lx = jnp.asarray(_voxel_offsets(R))  # (R^3, 3) local voxel coords
+
+    neighbor_offsets = [
+        (1, 0, 0), (0, 1, 0), (0, 0, 1),
+        (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+    ]
+
+    def build_ext(start):
+        """(TB, R+1, R+1, R+1) tsdf/valid + (TB, 8) neighbor slot ids
+        (self + 7 neighbors in `neighbor_offsets` order)."""
+        coords = jax.lax.dynamic_slice(state.block_coords, (start, 0), (TB, 3))
+        t0 = jax.lax.dynamic_slice(state.tsdf, (start, 0), (TB, R3)).reshape(
+            TB, R, R, R
+        )
+        w0 = jax.lax.dynamic_slice(state.weight, (start, 0), (TB, R3)).reshape(
+            TB, R, R, R
+        )
+        ext_t = jnp.zeros((TB, R + 1, R + 1, R + 1), jnp.float32)
+        ext_v = jnp.zeros((TB, R + 1, R + 1, R + 1), bool)
+        ext_t = ext_t.at[:, :R, :R, :R].set(t0)
+        ext_v = ext_v.at[:, :R, :R, :R].set(w0 > weight_threshold)
+
+        nb_slots = [jnp.arange(TB, dtype=jnp.int32) + start]
+        for off in neighbor_offsets:
+            nb_key = _block_keys(coords + jnp.asarray(off, jnp.int32), G)
+            nb_slot = state.slot_table[jnp.minimum(nb_key, G ** 3 - 1)]
+            nb_ok = (nb_key < G ** 3) & (nb_slot >= 0)
+            nb_slot_safe = jnp.where(nb_ok, nb_slot, cap)
+            nb_slots.append(jnp.where(nb_ok, nb_slot, -1))
+            nb_t = state.tsdf[nb_slot_safe].reshape(TB, R, R, R)
+            nb_w = state.weight[nb_slot_safe].reshape(TB, R, R, R)
+            src = tuple(slice(0, 1) if o else slice(0, R) for o in off)
+            dst = tuple(slice(R, R + 1) if o else slice(0, R) for o in off)
+            ext_t = ext_t.at[(slice(None),) + dst].set(nb_t[(slice(None),) + src])
+            ext_v = ext_v.at[(slice(None),) + dst].set(
+                (nb_w[(slice(None),) + src] > weight_threshold)
+                & nb_ok[:, None, None, None]
+            )
+        return ext_t, ext_v, jnp.stack(nb_slots, axis=1)  # (TB, 8)
+
+    # Map an owner-voxel offset (0/1 per axis, axis component forced 0) to
+    # the index in nb_slots: 0 self, 1..7 per neighbor_offsets order.
+    def nb_index(off):
+        if off == (0, 0, 0):
+            return 0
+        return 1 + neighbor_offsets.index(off)
+
+    def edge_key(slot, voxel_flat, axis):
+        return ((slot * R3 + voxel_flat) << 2) | axis
+
+    def tile_body(t, carry):
+        out_v, out_vk, out_tk, nv, nt = carry
+        start = t * TB
+        slots_self = jnp.arange(TB, dtype=jnp.int32) + start
+        block_ok = slots_self < state.n_active
+        coords = jax.lax.dynamic_slice(state.block_coords, (start, 0), (TB, 3))
+        ext_t, ext_v, nb_slots = build_ext(start)
+
+        # ---- vertices: crossings along each axis ------------------------------
+        t0 = ext_t[:, :R, :R, :R]
+        v0 = ext_v[:, :R, :R, :R]
+        for axis in range(3):
+            sl = [slice(0, R)] * 3
+            sl[axis] = slice(1, R + 1)
+            t1 = ext_t[(slice(None),) + tuple(sl)]
+            v1 = ext_v[(slice(None),) + tuple(sl)]
+            cross = v0 & v1 & (t0 * t1 < 0) & block_ok[:, None, None, None]
+            denom = t0 - t1
+            frac = jnp.where(jnp.abs(denom) > 1e-20,
+                             t0 / jnp.where(denom == 0, 1.0, denom), 0.5)
+            base = (coords * R)[:, None, :] + lx[None, :, :]
+            pos = base.astype(jnp.float32).reshape(TB, R, R, R, 3)
+            pos = pos.at[..., axis].add(jnp.clip(frac, 0.0, 1.0))
+            pos = pos * vs
+            keys = edge_key(
+                slots_self[:, None], jnp.arange(R3, dtype=jnp.int32)[None, :],
+                axis,
+            ).reshape(TB, R, R, R)
+
+            flat_cross = cross.reshape(-1)
+            rank = jnp.cumsum(flat_cross.astype(jnp.int32))
+            idx = jnp.where(flat_cross, nv + rank - 1, max_verts)
+            idx = jnp.minimum(idx, max_verts)
+            out_v = out_v.at[idx].set(pos.reshape(-1, 3), mode="drop")
+            out_vk = out_vk.at[idx].set(keys.reshape(-1), mode="drop")
+            nv = nv + rank[-1]
+
+        # ---- triangles: cube configs + MC table --------------------------------
+        corner_t = []
+        corner_v = []
+        for k in range(8):
+            dx, dy, dz = corners_np[k]
+            corner_t.append(ext_t[:, dx : dx + R, dy : dy + R, dz : dz + R])
+            corner_v.append(ext_v[:, dx : dx + R, dy : dy + R, dz : dz + R])
+        cube_ok = corner_v[0]
+        for k in range(1, 8):
+            cube_ok = cube_ok & corner_v[k]
+        cube_ok = cube_ok & block_ok[:, None, None, None]
+        config = jnp.zeros((TB, R, R, R), jnp.int32)
+        for k in range(8):
+            config = config | ((corner_t[k] < 0).astype(jnp.int32) << k)
+        config = jnp.where(cube_ok, config, 0)
+
+        tri_e = tri_table_dev[config.reshape(-1)]  # (TB*R^3, 5, 3) edge ids, -1 pad
+
+        # Edge id -> owner key. Owner voxel = cube voxel + owner_start; when
+        # a component overflows R-1 the owner lives in the face/edge neighbor.
+        n_cubes = TB * R3
+        vox = jnp.broadcast_to(lx[None, :, :], (TB, R3, 3)).reshape(-1, 3)
+        blk = jnp.repeat(jnp.arange(TB, dtype=jnp.int32), R3)
+
+        e_safe = jnp.maximum(tri_e, 0)
+        ostart = owner_dev[e_safe][..., :3]  # (N, 5, 3, 3)
+        oaxis = owner_dev[e_safe][..., 3]  # (N, 5, 3)
+        ovox = vox[:, None, None, :] + ostart  # (N, 5, 3, 3)
+        over = (ovox >= R).astype(jnp.int32)  # 0/1 per component
+        local = ovox - over * R
+        # Neighbor index from the overflow pattern (0 = self block).
+        nb_idx = jnp.zeros(over.shape[:-1], jnp.int32)
+        for off in neighbor_offsets:
+            match = (
+                (over[..., 0] == off[0]) & (over[..., 1] == off[1])
+                & (over[..., 2] == off[2])
+            )
+            nb_idx = jnp.where(match, nb_index(off), nb_idx)
+        nsc = jnp.broadcast_to(
+            nb_slots[blk][:, None, None, :], (n_cubes, 5, 3, 8)
+        )
+        owner_slot = jnp.take_along_axis(nsc, nb_idx[..., None], axis=-1)[..., 0]
+        local_flat = (local[..., 0] * R + local[..., 1]) * R + local[..., 2]
+        tri_keys = edge_key(owner_slot, local_flat, oaxis)
+
+        tri_valid = (tri_e[..., 0] >= 0) & (owner_slot >= 0).all(-1)  # (N, 5)
+        flat_tri = tri_valid.reshape(-1)
+        rankt = jnp.cumsum(flat_tri.astype(jnp.int32))
+        idxt = jnp.where(flat_tri, nt + rankt - 1, max_tris)
+        idxt = jnp.minimum(idxt, max_tris)
+        out_tk = out_tk.at[idxt].set(tri_keys.reshape(-1, 3), mode="drop")
+        nt = nt + rankt[-1]
+
+        return (out_v, out_vk, out_tk, nv, nt)
+
+    out_v = jnp.zeros((max_verts + 1, 3), jnp.float32)
+    out_vk = jnp.full((max_verts + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    out_tk = jnp.zeros((max_tris + 1, 3), jnp.int32)
+    out_v, out_vk, out_tk, nv, nt = jax.lax.fori_loop(
+        0, n_tiles, tile_body,
+        (out_v, out_vk, out_tk, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
+    out_v = out_v[:max_verts]
+    out_vk = out_vk[:max_verts]
+    out_tk = out_tk[:max_tris]
+
+    # ---- resolve triangle edge keys -> vertex indices -------------------------
+    order = jnp.argsort(out_vk)
+    keys_sorted = out_vk[order]
+    pos_in_sorted = jnp.searchsorted(keys_sorted, out_tk.reshape(-1))
+    pos_clamped = jnp.minimum(pos_in_sorted, max_verts - 1)
+    found = keys_sorted[pos_clamped] == out_tk.reshape(-1)
+    tri_idx = jnp.where(found, order[pos_clamped], 0).reshape(-1, 3)
+    tri_ok = found.reshape(-1, 3).all(-1)
+    tri_idx = jnp.where(tri_ok[:, None], tri_idx, -1)
+
+    return out_v, tri_idx, nv, nt
+
+
 # ---------------------------------------------------------------------------
 # Host-side volume wrapper with persistence + extraction
 # ---------------------------------------------------------------------------
@@ -613,10 +810,24 @@ class TSDFVolume:
         return PointCloud(points=points, normals=normals)
 
     def extract_triangle_mesh(
-        self, weight_threshold: float = 3.0, estimated_vertex_number: int = -1
+        self, weight_threshold: float = 3.0, estimated_vertex_number: int = -1,
+        device: bool = True, max_verts: int = 4_194_304, max_tris: int = 8_388_608,
     ) -> TriangleMesh:
         """Marching cubes over valid voxels with lattice-edge-keyed vertex
-        welding (crack-free across block boundaries)."""
+        welding (crack-free across block boundaries).
+
+        `device=True` runs the tables, crossing interpolation, and key
+        resolution on the TPU (see _extract_mesh_jit); the numpy path is the
+        arbitrarily-sized fallback and parity oracle.
+        """
+        if device and self.n_active > 0:
+            try:
+                return self._extract_triangle_mesh_device(
+                    weight_threshold, max_verts, max_tris
+                )
+            except Exception as e:  # pragma: no cover
+                print(f"[Warning] device mesh extraction failed ({e}); "
+                      "falling back to host")
         del estimated_vertex_number  # capacity hint irrelevant here
         cfg = self.cfg
         R = cfg.block_resolution
@@ -705,6 +916,43 @@ class TSDFVolume:
 
         mesh = TriangleMesh(vertices=verts, triangles=triangles)
         mesh.vertex_normals = _mesh_vertex_normals(verts, triangles)
+        return mesh
+
+    def _extract_triangle_mesh_device(
+        self, weight_threshold: float, max_verts: int, max_tris: int
+    ) -> TriangleMesh:
+        n_bucket = 128
+        while n_bucket < self.n_active:
+            n_bucket *= 2
+        n_bucket = min(n_bucket, self.cfg.block_count)
+        verts, tri_idx, nv, nt = _extract_mesh_jit(
+            self.cfg, self.state, jnp.float32(weight_threshold),
+            n_bucket, max_verts, max_tris,
+        )
+        nv = int(nv)
+        nt = int(nt)
+        if nv > max_verts or nt > max_tris:
+            print(
+                f"[Warning] device mesh extraction truncated "
+                f"({nv}/{max_verts} verts, {nt}/{max_tris} tris)"
+            )
+            nv = min(nv, max_verts)
+            nt = min(nt, max_tris)
+        verts = np.asarray(verts[:nv], np.float64)
+        tris = np.asarray(tri_idx[:nt], np.int64)
+        tris = tris[(tris >= 0).all(axis=1) & (tris < nv).all(axis=1)]
+        # Drop unreferenced vertices (edges valid between voxel pairs that
+        # belong to no fully-valid cube).
+        used = np.zeros(nv, bool)
+        if len(tris):
+            used[tris.reshape(-1)] = True
+        remap = np.full(nv, -1, np.int64)
+        remap[used] = np.arange(used.sum())
+        mesh = TriangleMesh(
+            vertices=verts[used],
+            triangles=remap[tris] if len(tris) else np.zeros((0, 3), np.int64),
+        )
+        mesh.vertex_normals = _mesh_vertex_normals(mesh.vertices, mesh.triangles)
         return mesh
 
     def _extract_point_cloud_device(

@@ -200,3 +200,23 @@ class TestDeviceExtraction:
         d1, _ = cKDTree(host.points).query(dev.points)
         d2, _ = cKDTree(dev.points).query(host.points)
         assert d1.max() < 2e-6 and d2.max() < 2e-6
+
+    def test_device_mesh_matches_host(self, volume):
+        vol, cfg = volume
+        host = vol.extract_triangle_mesh(weight_threshold=1.5, device=False)
+        dev = vol.extract_triangle_mesh(weight_threshold=1.5, device=True)
+        assert abs(len(dev.vertices) - len(host.vertices)) <= len(host.vertices) * 0.002
+        assert abs(len(dev.triangles) - len(host.triangles)) <= len(host.triangles) * 0.002
+        from scipy.spatial import cKDTree
+
+        d1, _ = cKDTree(host.vertices).query(dev.vertices)
+        assert d1.max() < 2e-6
+        # Triangle sets match geometrically: every triangle centroid has a
+        # sub-micron counterpart in the other mesh (f32-vs-f64 rounding only).
+        def centroids(mesh):
+            v = np.asarray(mesh.vertices)
+            return v[np.asarray(mesh.triangles)].mean(1)
+        ch, cd = centroids(host), centroids(dev)
+        dc1, _ = cKDTree(ch).query(cd)
+        dc2, _ = cKDTree(cd).query(ch)
+        assert dc1.max() < 2e-6 and dc2.max() < 2e-6
