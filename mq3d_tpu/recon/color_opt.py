@@ -226,7 +226,7 @@ def optimize_color_pose(
             total_res += float(res)
         if it % 10 == 0:
             print(f"[ColorOpt] iter {it}: residual {total_res:.4f}")
-        if abs(prev_res - total_res) < 1e-6 * max(total_res, 1e-12):
+        if it >= 10 and abs(prev_res - total_res) < 1e-4 * max(total_res, 1e-12):
             print(f"[ColorOpt] converged at iter {it}: residual {total_res:.4f}")
             break
         prev_res = total_res
