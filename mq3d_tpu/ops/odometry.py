@@ -94,3 +94,24 @@ def odometry_information_matrix(
     G = jnp.where(corr[..., None, None], G, 0.0)
     info = jnp.einsum("hwri,hwrj->ij", G, G, preferred_element_type=jnp.float64)
     return info.astype(jnp.float64), jnp.sum(corr)
+
+
+@partial(jax.jit, static_argnames=("dist_threshold", "depth_max"))
+def odometry_information_matrix_batch(
+    depth_stack,  # (N, H, W) float32 — the fragment's depth frames, in HBM
+    intrinsic,  # (3, 3) float32 (constant within a fragment)
+    pairs,  # (E, 2) int32 (source_idx, target_idx)
+    source_to_target,  # (E, 4, 4) float32
+    dist_threshold: float,
+    depth_max: float,
+):
+    """All of a fragment's odometry/loop edges in one launch (vmap over
+    edges, each edge indexing the shared frame stack)."""
+
+    def one(pair, T):
+        return odometry_information_matrix(
+            depth_stack[pair[0]], depth_stack[pair[1]], intrinsic, T,
+            dist_threshold=dist_threshold, depth_max=depth_max,
+        )
+
+    return jax.vmap(one)(pairs, source_to_target)

@@ -101,65 +101,89 @@ def build_pose_graph_for_fragment(
 
     pose_graph = convert_transforms_to_pose_graph(transforms)
 
-    K_dev = jnp.asarray(intrinsic)
+    # Gather all edge candidates first, then compute every information
+    # matrix of the fragment in ONE device launch (vmap over edges against
+    # the shared frame stack) instead of ~n sequential launches.
+    odo_pairs = [
+        (i, i + 1)
+        for i in range(n - 1)
+        if frame_valid[i] and frame_valid[i + 1]
+    ]
 
-    def info_for(i, j, relative_pose):
-        info, n_corr = odometry_information_matrix(
-            jnp.asarray(depth_stack[i]),
-            jnp.asarray(depth_stack[j]),
-            K_dev,
-            jnp.asarray(relative_pose.astype(np.float32)),
-            dist_threshold=float(config.dist_threshold),
-            depth_max=float(config.depth_max),
-        )
-        return np.asarray(info), int(n_corr)
-
-    # Sequential odometry edges.
-    for i in range(n - 1):
-        if not (frame_valid[i] and frame_valid[i + 1]):
-            continue
-        relative_pose = extrinsics_wc[i + 1] @ extrinsics_cw[i]
-        info, _ = info_for(i, i + 1, relative_pose)
-        pose_graph.edges.append(
-            PoseGraphEdge(
-                source_node_id=i,
-                target_node_id=i + 1,
-                transformation=relative_pose,
-                information=info,
-                uncertain=False,
-            )
-        )
-
-    # Keyframe loop closures.
     key_indices = list(range(0, n, max(config.odometry_loop_interval, 1)))
+    loop_pairs = []
     for a_pos, key_i in enumerate(key_indices):
         if not frame_valid[key_i]:
             continue
+        # Reference quirk preserved: image size indexed by keyframe-list
+        # position (make_fragments.py:171-172).
         width = int(frag_dataset.widths[a_pos]) if a_pos < n else int(frag_dataset.widths[0])
         height = int(frag_dataset.heights[a_pos]) if a_pos < n else int(frag_dataset.heights[0])
         for key_j in key_indices[a_pos + 1 :]:
             if not frame_valid[key_j]:
                 continue
-            relative_pose = extrinsics_wc[key_j] @ extrinsics_cw[key_i]
-            if not frustum_overlap_filter(
+            if frustum_overlap_filter(
                 extrinsics_cw[key_i], extrinsics_cw[key_j],
                 intrinsic, intrinsic,
                 (width, height), (width, height),
                 z_near=0.1, z_far=config.depth_max,
                 overlap_ratio_threshold=config.overlap_ratio_threshold,
             ):
-                continue
-            info, _ = info_for(key_i, key_j, relative_pose)
-            if info[5, 5] / (width * height) > config.loop_yaw_info_density_threshold:
-                pose_graph.edges.append(
-                    PoseGraphEdge(
-                        source_node_id=key_i,
-                        target_node_id=key_j,
-                        transformation=relative_pose,
-                        information=info,
-                        uncertain=True,
-                    )
+                loop_pairs.append((key_i, key_j, width, height))
+
+    all_pairs = odo_pairs + [(i, j) for i, j, _, _ in loop_pairs]
+    if not all_pairs:
+        return pose_graph
+
+    pairs_arr = np.asarray(all_pairs, np.int32)
+    rel = extrinsics_wc[pairs_arr[:, 1]] @ extrinsics_cw[pairs_arr[:, 0]]  # f64
+
+    # Pad the edge batch to a power-of-two bucket so fragments of slightly
+    # different edge counts share one compiled executable.
+    e = len(all_pairs)
+    e_pad = 16
+    while e_pad < e:
+        e_pad *= 2
+    pairs_p = np.concatenate([pairs_arr, np.zeros((e_pad - e, 2), np.int32)])
+    rel_p = np.concatenate(
+        [rel.astype(np.float32), np.tile(np.eye(4, dtype=np.float32), (e_pad - e, 1, 1))]
+    )
+
+    from mq3d_tpu.ops.odometry import odometry_information_matrix_batch
+
+    infos, _ = odometry_information_matrix_batch(
+        jnp.asarray(depth_stack),
+        jnp.asarray(intrinsic.astype(np.float32)),
+        jnp.asarray(pairs_p),
+        jnp.asarray(rel_p),
+        dist_threshold=float(config.dist_threshold),
+        depth_max=float(config.depth_max),
+    )
+    infos = np.asarray(infos)[:e]
+
+    for e, (i, j) in enumerate(odo_pairs):
+        pose_graph.edges.append(
+            PoseGraphEdge(
+                source_node_id=i,
+                target_node_id=j,
+                transformation=rel[e],
+                information=infos[e],
+                uncertain=False,
+            )
+        )
+    for k, (key_i, key_j, width, height) in enumerate(loop_pairs):
+        e = len(odo_pairs) + k
+        info = infos[e]
+        if info[5, 5] / (width * height) > config.loop_yaw_info_density_threshold:
+            pose_graph.edges.append(
+                PoseGraphEdge(
+                    source_node_id=key_i,
+                    target_node_id=key_j,
+                    transformation=rel[e],
+                    information=info,
+                    uncertain=True,
                 )
+            )
 
     return pose_graph
 
