@@ -12,9 +12,9 @@ jax.devices() offers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields, is_dataclass
+from dataclasses import dataclass, field, fields
 from pathlib import Path
-from typing import Any, List, get_args, get_origin
+from typing import Any, List
 
 import yaml
 

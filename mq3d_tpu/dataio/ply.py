@@ -11,7 +11,7 @@ same formats with numpy so artifacts remain interchangeable:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 

@@ -10,10 +10,8 @@ and the mq3d TSDF voxel-grid npz schema (see ops/tsdf.py):
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, List, Optional
 
-import numpy as np
 
 from mq3d_tpu.config.paths import ReconstructionPathConfig
 from mq3d_tpu.dataio.ply import (

@@ -15,8 +15,8 @@ with "lower is better" metrics inverted):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import List
 
 import numpy as np
 

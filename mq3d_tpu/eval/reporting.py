@@ -9,7 +9,7 @@ analysis/analysis/* paired fog-vs-nofog statistics and HTML reports).
 from __future__ import annotations
 
 import csv
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from mq3d_tpu.dataio.ply import TriangleMesh, read_ply, write_ply_mesh
+from mq3d_tpu.dataio.ply import TriangleMesh, read_ply
 
 
 def fbx_available() -> bool:

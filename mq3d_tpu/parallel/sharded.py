@@ -19,13 +19,11 @@ mesh in tests and by __graft_entry__.dryrun_multichip.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mq3d_tpu.ops.tsdf import (
     TSDFConfig,

@@ -17,7 +17,7 @@ is batched over the full vertex set per frame on device.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ from mq3d_tpu.dataio.depth_io import DepthDataIO
 from mq3d_tpu.models.datasets import DepthDataset
 from mq3d_tpu.models.side import Side
 from mq3d_tpu.models.transforms import CoordinateSystem
-from mq3d_tpu.ops.odometry import odometry_information_matrix
 from mq3d_tpu.ops.posegraph import (
     GlobalOptimizationOption,
     PoseGraphEdge,

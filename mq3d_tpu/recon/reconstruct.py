@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import numpy as np
 from tqdm import tqdm
 
 from mq3d_tpu.config.configs import ReconstructionConfig
