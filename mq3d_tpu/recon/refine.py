@@ -52,7 +52,12 @@ def integrate_fragment_point_cloud(
 ) -> Optional[PointCloud]:
     """One fragment -> TSDF -> surface point cloud
     (reference refine_fragment_poses.py:14-58)."""
+    import os
+    import time
+
+    debug = bool(os.environ.get("MQ3D_DEBUG_TIMING"))
     try:
+        t0 = time.perf_counter()
         vol = integrate(
             dataset=frag_dataset,
             depth_data_io=depth_data_io,
@@ -60,7 +65,12 @@ def integrate_fragment_point_cloud(
             config=config,
             vbg_opt=TSDFVolume(tsdf_config_from_integration(config)),
         )
+        t1 = time.perf_counter()
         pcd = vol.extract_point_cloud(weight_threshold=3.0)
+        if debug:
+            print(f"[Timing] fragment integrate {t1 - t0:.1f}s "
+                  f"extract {time.perf_counter() - t1:.1f}s "
+                  f"({vol.n_active} blocks, {len(pcd)} pts)")
         if len(pcd) == 0:
             print(f"[Warning] Fragment point cloud for {side.name} is empty.")
             return None
