@@ -24,6 +24,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from mq3d_tpu.utils.host import fetch, fetch_float, fetch_int
 
 
 # ---------------------------------------------------------------------------
@@ -330,8 +331,8 @@ def _stats(grid: GridNN, src_pad, n_src, T, max_corr):
         grid.capacity,
     )
     return (
-        int(n_in), float(sse), np.asarray(sum_p), np.asarray(sum_q),
-        np.asarray(outer), np.asarray(sum_ppT),
+        fetch_int(n_in), fetch_float(sse), fetch(sum_p), fetch(sum_q),
+        fetch(outer), fetch(sum_ppT),
     )
 
 
@@ -363,7 +364,7 @@ def registration_icp(
         capacity=grid.capacity, max_iteration=int(criteria.max_iteration),
     )
     return RegistrationResult(
-        np.asarray(T_out), float(fitness), float(rmse), int(n_in)
+        fetch(T_out), fetch_float(fitness), fetch_float(rmse), fetch_int(n_in)
     )
 
 

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mq3d_tpu.dataio.ply import PointCloud, TriangleMesh
+from mq3d_tpu.utils.host import fetch_int
 from mq3d_tpu.ops.mc_tables import build_tables
 
 
@@ -644,7 +645,7 @@ class TSDFVolume:
 
     @property
     def n_active(self) -> int:
-        return int(self.state.n_active)
+        return fetch_int(self.state.n_active)
 
     # -- persistence ---------------------------------------------------------------
 
@@ -929,8 +930,8 @@ class TSDFVolume:
             self.cfg, self.state, jnp.float32(weight_threshold),
             n_bucket, max_verts, max_tris,
         )
-        nv = int(nv)
-        nt = int(nt)
+        nv = fetch_int(nv)
+        nt = fetch_int(nt)
         if nv > max_verts or nt > max_tris:
             print(
                 f"[Warning] device mesh extraction truncated "
@@ -966,7 +967,7 @@ class TSDFVolume:
             self.cfg, self.state, jnp.float32(weight_threshold),
             n_bucket, max_points,
         )
-        c = int(count)
+        c = fetch_int(count)
         if c > max_points:
             print(f"[Warning] point extraction truncated: {c} > {max_points}")
             c = max_points

@@ -25,6 +25,7 @@ import numpy as np
 from tqdm import tqdm
 
 from mq3d_tpu.config.configs import ColorOptimizationConfig
+from mq3d_tpu.utils.host import fetch
 from mq3d_tpu.dataio.data_io import DataIO
 from mq3d_tpu.dataio.ply import TriangleMesh
 from mq3d_tpu.geometry import quaternion as quat
@@ -214,8 +215,7 @@ def optimize_color_pose(
                 verts, f["K"], jnp.asarray(f["T"], jnp.float32),
                 f["gray"], f["gx"], f["gy"], target_c, f["vis"],
             )
-            H = np.asarray(H)
-            b = np.asarray(b)
+            H, b, res, n_ok = fetch((H, b, res, n_ok))
             if int(n_ok) < 100:
                 continue
             try:

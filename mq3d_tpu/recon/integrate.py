@@ -16,6 +16,7 @@ import numpy as np
 from tqdm import tqdm
 
 from mq3d_tpu.config.configs import IntegrationConfig
+from mq3d_tpu.utils.host import fetch_int
 from mq3d_tpu.dataio.depth_io import DepthDataIO
 from mq3d_tpu.models.datasets import DepthDataset
 from mq3d_tpu.models.side import Side
@@ -120,10 +121,17 @@ def integrate(
         else:
             Kc, Tc = K[idx], T_wc[idx]
         vol.integrate(stack, Kc, Tc, valid)
+        # Sync each chunk: long async donation chains intermittently degrade
+        # on tunneled TPU runtimes (final waits can take ~50x the compute);
+        # a per-chunk barrier costs one RTT and keeps the queue shallow.
+        import jax
 
-    if int(vol.state.overflow) > 0:
+        jax.block_until_ready(vol.state.tsdf)
+
+    overflow = fetch_int(vol.state.overflow)
+    if overflow > 0:
         print(
-            f"[Warning] TSDF block capacity exceeded: {int(vol.state.overflow)} "
+            f"[Warning] TSDF block capacity exceeded: {overflow} "
             f"allocations dropped (block_count={vol.cfg.block_count})"
         )
     return vol
