@@ -104,13 +104,17 @@ def odometry_information_matrix_batch(
     dist_threshold: float,
     depth_max: float,
 ):
-    """All of a fragment's odometry/loop edges in one launch (vmap over
-    edges, each edge indexing the shared frame stack)."""
+    """All of a fragment's odometry/loop edges in one launch.
 
-    def one(pair, T):
+    lax.map with a small batch_size keeps the per-edge (H, W, 3, 6) Jacobian
+    intermediates bounded (a flat vmap over ~128 edges materializes tens of
+    GB at 320x288)."""
+
+    def one(args):
+        pair, T = args
         return odometry_information_matrix(
             depth_stack[pair[0]], depth_stack[pair[1]], intrinsic, T,
             dist_threshold=dist_threshold, depth_max=depth_max,
         )
 
-    return jax.vmap(one)(pairs, source_to_target)
+    return jax.lax.map(one, (pairs, source_to_target), batch_size=8)
