@@ -209,8 +209,44 @@ def read_ply(path: Path):
 
 # ---------------------------------------------------------------------------
 # PCD (fragment point-cloud caches; reference uses Open3D .pcd at
-# cache/pcd/<SIDE>_fragment_<i>.pcd)
+# cache/pcd/<SIDE>_fragment_<i>.pcd). We write plain `binary`; reading also
+# supports ascii and PCL's LZF `binary_compressed` (what Open3D writes with
+# compressed=True, reference reconstruction_data_io.py:39).
 # ---------------------------------------------------------------------------
+
+
+def _lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """LibLZF decompression (the PCL/Open3D PCD codec)."""
+    out = bytearray(expected_size)
+    i = 0
+    o = 0
+    n = len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:  # literal run of ctrl+1 bytes
+            run = ctrl + 1
+            out[o : o + run] = data[i : i + run]
+            i += run
+            o += run
+        else:  # back reference
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            length += 2
+            ref = o - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            # Overlapping copies must go byte-by-byte.
+            if ref + length <= o:
+                out[o : o + length] = out[ref : ref + length]
+                o += length
+            else:
+                for _ in range(length):
+                    out[o] = out[ref]
+                    o += 1
+                    ref += 1
+    return bytes(out[:o])
 
 def write_pcd(path: Path, pcd: PointCloud):
     path = Path(path)
@@ -263,6 +299,20 @@ def read_pcd(path: Path) -> PointCloud:
         arr = np.frombuffer(body, dtype=dt, count=n)
     elif mode == "ascii":
         arr = np.loadtxt(body.decode("ascii").splitlines(), dtype=dt)
+    elif mode == "binary_compressed":
+        # Open3D/PCL compressed layout: u32 compressed_size, u32
+        # uncompressed_size, LZF block holding the data field-major (SoA).
+        import struct as _struct
+
+        comp_size, uncomp_size = _struct.unpack_from("<II", body, 0)
+        raw = _lzf_decompress(body[8 : 8 + comp_size], uncomp_size)
+        arr = np.empty(n, dtype=dt)
+        off = 0
+        for f, t, s in zip(fields, types, sizes):
+            fdt = np.dtype(np_types[(t, s)])
+            col = np.frombuffer(raw, dtype=fdt, count=n, offset=off)
+            arr[f] = col
+            off += n * fdt.itemsize
     else:
         raise ValueError(f"Unsupported PCD DATA mode: {mode}")
     pts = np.stack([arr["x"], arr["y"], arr["z"]], axis=-1).astype(np.float64)

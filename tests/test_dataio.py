@@ -171,3 +171,44 @@ class TestPoseInterpolator:
         assert not valid[2]
         single = pi.interpolate_pose(int(ts[1]))
         np.testing.assert_allclose(single[0], pos[1])
+
+    def test_pcd_binary_compressed(self, rng, tmp_path):
+        """Read PCL/Open3D LZF binary_compressed PCD (SoA layout)."""
+        import struct
+
+        pts = rng.normal(size=(50, 3)).astype("<f4")
+        soa = np.concatenate([pts[:, 0], pts[:, 1], pts[:, 2]]).tobytes()
+
+        # Reference LZF compressor (simple literal-only encoding is valid
+        # LZF: runs of up to 32 literals).
+        def lzf_compress_literals(data):
+            out = bytearray()
+            i = 0
+            while i < len(data):
+                run = min(32, len(data) - i)
+                out.append(run - 1)
+                out += data[i : i + run]
+                i += run
+            return bytes(out)
+
+        comp = lzf_compress_literals(soa)
+        header = (
+            "# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\n"
+            "TYPE F F F\nCOUNT 1 1 1\nWIDTH 50\nHEIGHT 1\n"
+            "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 50\nDATA binary_compressed\n"
+        ).encode()
+        p = tmp_path / "c.pcd"
+        p.write_bytes(header + struct.pack("<II", len(comp), len(soa)) + comp)
+        loaded = read_pcd(p)
+        np.testing.assert_allclose(loaded.points, pts.astype(np.float64), atol=1e-6)
+
+    def test_lzf_backreference_decode(self):
+        """LZF back-references (overlapping copy) decode correctly."""
+        from mq3d_tpu.dataio.ply import _lzf_decompress
+
+        # 'abc' literals then a back-ref repeating 'abcabc' (overlap run).
+        # ctrl literal: 2 -> 3 bytes 'abc'; backref: length 6 -> ctrl
+        # (len-2)=4 -> ctrl = (4<<5) | high(offset), offset = 2 (ref = o-3)
+        data = bytes([2]) + b"abc" + bytes([(4 << 5) | 0, 2])
+        out = _lzf_decompress(data, 9)
+        assert out == b"abcabcabc"
