@@ -82,7 +82,7 @@ class DepthConfidenceEstimationConfig:
     use_dataset_cache: bool = True
     use_multi_threading: bool = True  # accepted for YAML compat; on TPU the
     # fan-out is a batch dimension, not a process pool
-    frames_per_batch: int = 8  # frames processed per device launch
+    frames_per_batch: int = 16  # frames processed per device launch
 
 
 @dataclass
@@ -129,7 +129,7 @@ class FragmentPoseRefinementConfig:
     edge_prune_threshold: float = 0.25
     use_multi_threading: bool = False
     # TPU-only knobs:
-    frames_per_batch: int = 16
+    frames_per_batch: int = 32
     grid_dim: int = 160
     chunk_active_capacity: int = 12_288
     integrate_tile: int = 512
@@ -148,7 +148,7 @@ class IntegrationConfig:
     depth_max: float = 1.5
     trunc_voxel_multiplier: float = 8.0
     # TPU-only knobs (no reference counterpart):
-    frames_per_batch: int = 16  # frames fused per device launch
+    frames_per_batch: int = 32  # frames fused per device launch
     grid_dim: int = 160  # dense slot-table extent (blocks/axis)
     chunk_active_capacity: int = 12_288  # max blocks touched per chunk
     integrate_tile: int = 512  # blocks per integration tile

@@ -91,8 +91,11 @@ def odometry_information_matrix(
         -2,
     )
     G = jnp.where(corr[..., None, None], G, 0.0)
-    info = jnp.einsum("hwri,hwrj->ij", G, G, preferred_element_type=jnp.float64)
-    return info.astype(jnp.float64), jnp.sum(corr)
+    # Accumulate in f32: a single f64 op poisons this TPU runtime into a
+    # permanently degraded launch mode (~1000x on all subsequent kernels),
+    # and f32 precision is ample here (relative error ~1e-7 on the 6x6 sums).
+    info = jnp.einsum("hwri,hwrj->ij", G, G, preferred_element_type=jnp.float32)
+    return info, jnp.sum(corr)
 
 
 @partial(jax.jit, static_argnames=("dist_threshold", "depth_max"))
