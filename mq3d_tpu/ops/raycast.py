@@ -232,7 +232,7 @@ def raycast_depth(
     height: int,
     t_min: float = 0.05,
     t_max: float | None = None,
-    ray_chunk: int = 262144,
+    ray_chunk: int = 524288,
 ) -> np.ndarray:
     """Render one z-depth map from the TSDF volume. inf = miss."""
     cfg = volume.cfg
