@@ -86,3 +86,66 @@ class TestSessionCLIs:
         )
         assert r2.returncode == 0
         assert (d / "1010.raw").exists()
+
+
+class TestPipelineCLI:
+    def test_run_full_pipeline_cli(self, tmp_path):
+        """End-to-end CLI smoke: session auto-selection + full run on a tiny
+        capture, pipeline_runtime.txt written."""
+        import subprocess
+        import sys
+        import textwrap
+        import numpy as np
+        from mq3d_tpu.testing.synthetic import (
+            SyntheticSceneConfig, write_synthetic_project,
+        )
+
+        base = tmp_path / "captures"
+        session = base / "20250101_120000"
+        write_synthetic_project(session, SyntheticSceneConfig(n_frames=4, sweep=0.5))
+        cfg = tmp_path / "cfg.yml"
+        cfg.write_text(textwrap.dedent("""
+            yuv_to_rgb: {blur_filter: False, blur_threshold: 50.0,
+                         exposure_filter: False,
+                         exposure_threshold_low: 0.05, exposure_threshold_high: 0.05}
+            depth_to_linear: {clip_near_m: 0.1, clip_far_m: 5.0, use_cache: True}
+            reconstruction:
+              device: "cpu"
+              use_dataset_cache: false
+              estimate_depth_confidences: false
+              optimize_depth_pose: false
+              use_fragment_dataset_cache: false
+              use_optimized_dataset_cache: false
+              use_colorless_vbg_cache: false
+              visualize_colorless_pcd: false
+              optimize_color_pose: false
+              visualize_colored_mesh: false
+              sample_point_cloud_from_colored_mesh: false
+              points_per_vertex_ratio: 1.0
+              render_color_aligned_depth: false
+              depth_integration:
+                use_confidence_filtered_depth: false
+                confidence_threshold: 0.02
+                valid_count_threshold: 2
+                voxel_size: 0.05
+                block_resolution: 16
+                block_count: 1024
+                depth_max: 4.0
+                trunc_voxel_multiplier: 4.0
+                frames_per_batch: 4
+                grid_dim: 16
+                chunk_active_capacity: 1024
+                integrate_tile: 128
+        """))
+        env = {"JAX_PLATFORMS": "cpu"}
+        import os
+        env = {**os.environ, **env}
+        r = subprocess.run(
+            [sys.executable, "scripts/run_full_pipeline.py",
+             "--base_dir", str(base), "--config", str(cfg)],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert (session / "pipeline_runtime.txt").exists()
+        assert (session / "reconstruction/colorless.ply").exists()
