@@ -209,6 +209,43 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data"):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def sharded_confidence_step(mesh: Mesh, axis: str = "data"):
+    """Multi-chip confidence estimation: the reference-frame batch shards
+    over the mesh (each device computes its refs against the replicated
+    frame stack); outputs concatenate along the batch axis.
+
+    Usage: fn = sharded_confidence_step(mesh); fn(depth, K, T_cw, T_wc,
+    valid, refs, depth_max=..., error_threshold=..., window=...) with
+    len(refs) divisible by the mesh size.
+    """
+    from functools import partial as _partial
+
+    from mq3d_tpu.recon.confidence import confidence_for_refs
+
+    def build(depth_max: float, error_threshold: float, window: int):
+        local = _partial(
+            confidence_for_refs,
+            depth_max=depth_max,
+            error_threshold=error_threshold,
+            window=window,
+        )
+
+        def step_local(depth, K, T_cw, T_wc, valid, refs):
+            return local(depth, K, T_cw, T_wc, valid, refs)
+
+        return jax.jit(
+            jax.shard_map(
+                step_local,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+        )
+
+    return build
+
+
 def integrate_dataset_sharded(
     cfg: TSDFConfig,
     mesh: Mesh,

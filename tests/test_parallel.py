@@ -83,3 +83,44 @@ class TestShardedTSDF:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedConfidence:
+    def test_matches_single_device(self, mesh8, tmp_path):
+        import numpy as np
+        from mq3d_tpu.dataio.data_io import DataIO
+        from mq3d_tpu.models.side import Side
+        from mq3d_tpu.models.transforms import CoordinateSystem
+        from mq3d_tpu.parallel.sharded import sharded_confidence_step
+        from mq3d_tpu.recon.confidence import confidence_for_refs
+        from mq3d_tpu.testing.synthetic import (
+            SyntheticSceneConfig, write_synthetic_project,
+        )
+        import jax.numpy as jnp
+
+        proj, cfg, _ = write_synthetic_project(
+            tmp_path / "p", SyntheticSceneConfig(n_frames=8, sweep=1.0)
+        )
+        io = DataIO(proj)
+        ds = io.depth.load_depth_dataset(Side.LEFT, use_cache=False)
+        ds.transforms = ds.transforms.convert_coordinate_system(
+            CoordinateSystem.OPEN3D, is_camera=True
+        )
+        depth, valid = io.depth.load_depth_stack(Side.LEFT, ds)
+        K = ds.get_render_intrinsic_matrices().astype(np.float32)
+        T_cw = ds.transforms.extrinsics_cw.astype(np.float32)
+        T_wc = np.linalg.inv(T_cw).astype(np.float32)
+        refs = np.arange(8, dtype=np.int32)
+
+        args = (jnp.asarray(depth), jnp.asarray(K), jnp.asarray(T_cw),
+                jnp.asarray(T_wc), jnp.asarray(valid), jnp.asarray(refs))
+        single_conf, single_cnt = confidence_for_refs(
+            *args, depth_max=4.0, error_threshold=0.05, window=2,
+        )
+        fn = sharded_confidence_step(mesh8)(4.0, 0.05, 2)
+        shard_conf, shard_cnt = fn(*args)
+
+        np.testing.assert_array_equal(np.asarray(shard_cnt), np.asarray(single_cnt))
+        np.testing.assert_allclose(
+            np.asarray(shard_conf), np.asarray(single_conf), atol=1e-7
+        )
