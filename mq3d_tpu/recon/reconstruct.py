@@ -118,6 +118,20 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
             colorless_mesh,
             min_triangle_count=config.color_optimization.min_triangle_count,
         )
+        if config.visualize_colorless_pcd and len(colorless_mesh.vertices):
+            # Height-colored debug coloring (reference reconstruct_scene.py:
+            # 125-146 shows this in a viewer; headless builds persist it in
+            # the cleaned-mesh artifact).
+            import numpy as _np
+
+            z = colorless_mesh.vertices[:, 2]
+            z_min, z_max = float(z.min()), float(z.max())
+            denom = (z_max - z_min) if z_max > z_min else 1.0
+            zn = (z - z_min) / denom
+            colorless_mesh.vertex_colors = _np.clip(
+                _np.stack([zn, 1.0 - _np.abs(zn - 0.5) * 2.0, 1.0 - zn], axis=-1),
+                0.0, 1.0,
+            )
         data_io.reconstruction.save_colorless_mesh_clean(colorless_mesh)
 
         log_step("Optimize color maps")
