@@ -67,23 +67,23 @@ def compute_raw_metrics(mesh: TriangleMesh, density_voxel: float = 0.25) -> RawM
     nonmanifold = (counts > 2).mean()
     boundary = (counts == 1).mean()
 
-    # Face normals + smoothness over shared edges.
+    # Face normals + smoothness over shared edges (vectorized pairing:
+    # sort the undirected edge list; equal neighbors share a face pair).
     fn = np.cross(p1 - p0, p2 - p0)
     fn_norm = np.linalg.norm(fn, axis=-1, keepdims=True)
     fn = fn / np.maximum(fn_norm, 1e-12)
-    # Map each undirected edge to the (up to 2) incident faces.
-    edge_face = {}
-    dihedral = []
-    for f_idx in range(len(tris)):
-        for a, b in ((0, 1), (1, 2), (2, 0)):
-            key = (min(tris[f_idx, a], tris[f_idx, b]), max(tris[f_idx, a], tris[f_idx, b]))
-            other = edge_face.get(key)
-            if other is None:
-                edge_face[key] = f_idx
-            else:
-                cosang = np.clip(np.dot(fn[f_idx], fn[other]), -1.0, 1.0)
-                dihedral.append(np.arccos(cosang))
-    dihedral = np.asarray(dihedral) if dihedral else np.asarray([0.0])
+    face_ids = np.repeat(np.arange(len(tris)), 3)
+    order = np.lexsort((edges_sorted[:, 1], edges_sorted[:, 0]))
+    es = edges_sorted[order]
+    fs = face_ids[order]
+    same = (es[1:] == es[:-1]).all(axis=1)
+    fa = fs[:-1][same]
+    fb = fs[1:][same]
+    if len(fa):
+        cosang = np.clip(np.einsum("ij,ij->i", fn[fa], fn[fb]), -1.0, 1.0)
+        dihedral = np.arccos(cosang)
+    else:
+        dihedral = np.asarray([0.0])
     normal_dev = float(dihedral.mean())
     roughness = float(dihedral.std())
 
