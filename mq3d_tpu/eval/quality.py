@@ -60,10 +60,13 @@ def compute_raw_metrics(mesh: TriangleMesh, density_voxel: float = 0.25) -> RawM
     equilateral_area = (np.sqrt(3) / 4) * (edges_len.mean(-1) ** 2)
     skew = 1.0 - np.clip(area / np.maximum(equilateral_area, 1e-12), 0.0, 1.0)
 
-    # Edge topology.
+    # Edge topology (packed int64 keys: unique(axis=0) is far slower).
+    nv = len(verts)
     edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
     edges_sorted = np.sort(edges, axis=1)
-    uniq, counts = np.unique(edges_sorted, axis=0, return_counts=True)
+    edge_keys = edges_sorted[:, 0].astype(np.int64) * nv + edges_sorted[:, 1]
+    uniq_keys, counts = np.unique(edge_keys, return_counts=True)
+    uniq = np.stack([uniq_keys // nv, uniq_keys % nv], axis=-1)
     nonmanifold = (counts > 2).mean()
     boundary = (counts == 1).mean()
 
@@ -72,11 +75,13 @@ def compute_raw_metrics(mesh: TriangleMesh, density_voxel: float = 0.25) -> RawM
     fn = np.cross(p1 - p0, p2 - p0)
     fn_norm = np.linalg.norm(fn, axis=-1, keepdims=True)
     fn = fn / np.maximum(fn_norm, 1e-12)
-    face_ids = np.repeat(np.arange(len(tris)), 3)
-    order = np.lexsort((edges_sorted[:, 1], edges_sorted[:, 0]))
-    es = edges_sorted[order]
+    # The edge list is grouped by edge slot ([all e01][all e12][all e20]),
+    # so the owning face index tiles rather than repeats.
+    face_ids = np.tile(np.arange(len(tris)), 3)
+    order = np.argsort(edge_keys, kind="stable")
+    es = edge_keys[order]
     fs = face_ids[order]
-    same = (es[1:] == es[:-1]).all(axis=1)
+    same = es[1:] == es[:-1]
     fa = fs[:-1][same]
     fb = fs[1:][same]
     if len(fa):
