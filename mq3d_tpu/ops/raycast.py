@@ -206,18 +206,26 @@ def _march_rays(
 
 
 class _ScenePrep:
-    """Cache of prepare_scene outputs keyed on the volume state identity."""
+    """Cache of prepare_scene outputs keyed on (volume identity, revision).
+
+    The volume is held by weakref so the key cannot alias a new object after
+    GC, and TSDFVolume bumps `_state_version` on every state assignment
+    (integrate_chunk donates the old arrays, so raw id() keys go stale)."""
 
     def __init__(self):
-        self._key = None
+        self._vol_ref = None
+        self._version = None
         self._value = None
 
     def get(self, volume: TSDFVolume):
-        key = id(volume.state.tsdf)
-        if self._key != key:
+        import weakref
+
+        cached = self._vol_ref() if self._vol_ref is not None else None
+        if cached is not volume or self._version != volume._state_version:
             occ_dist, packed = prepare_scene(volume.cfg, volume.state)
             self._value = (occ_dist, packed)
-            self._key = key
+            self._vol_ref = weakref.ref(volume)
+            self._version = volume._state_version
         return self._value
 
 

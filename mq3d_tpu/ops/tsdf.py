@@ -80,6 +80,9 @@ class TSDFState(NamedTuple):
     weight: jnp.ndarray  # (block_count+1, R^3) float32
     n_active: jnp.ndarray  # () int32
     overflow: jnp.ndarray  # () int32: dropped block allocations
+    dropped_active: jnp.ndarray  # () int32: allocated blocks excluded from a
+    #   chunk's integration because the chunk touched more than
+    #   chunk_active_capacity blocks (observations silently skipped)
 
 
 def create_state(cfg: TSDFConfig) -> TSDFState:
@@ -91,6 +94,7 @@ def create_state(cfg: TSDFConfig) -> TSDFState:
         weight=jnp.zeros((cfg.block_count + 1, cfg.r3), dtype=jnp.float32),
         n_active=jnp.zeros((), dtype=jnp.int32),
         overflow=jnp.zeros((), dtype=jnp.int32),
+        dropped_active=jnp.zeros((), dtype=jnp.int32),
     )
 
 
@@ -211,6 +215,7 @@ def integrate_chunk(
     active_slots = (
         jnp.full((M + 1,), cap, dtype=jnp.int32).at[list_idx].set(slot_table, mode="drop")
     )[:M]
+    dropped_active = state.dropped_active + jnp.maximum(rank2[-1] - M, 0)
 
     # ---- Phase B: gather -> integrate -> scatter, tiled over blocks ---------
     voxel_offs = jnp.asarray(_voxel_offsets(R))  # (R^3, 3)
@@ -291,6 +296,7 @@ def integrate_chunk(
         weight=weight_arr,
         n_active=n_active,
         overflow=overflow,
+        dropped_active=dropped_active,
     )
 
 
@@ -312,7 +318,11 @@ def _extract_points_jit(
     cap = cfg.block_count
     vs = cfg.voxel_size
     TB = min(512, n_bucket)
-    n_tiles = n_bucket // TB
+    # Ceil division: a trailing partial tile must still be processed (a
+    # loaded volume has n_bucket == exact block count; floor division
+    # silently skipped up to TB-1 blocks).  Out-of-range slots clamp to the
+    # zero sentinel row `cap` via gather and are masked by block_ok.
+    n_tiles = (n_bucket + TB - 1) // TB
 
     tsdf_all = state.tsdf
     wgt_all = state.weight
@@ -327,14 +337,11 @@ def _extract_points_jit(
         start = t * TB
         slots = jnp.arange(TB, dtype=jnp.int32) + start
         block_ok = slots < state.n_active
-        coords = jax.lax.dynamic_slice(state.block_coords, (start, 0), (TB, 3))
-        t0 = jax.lax.dynamic_slice(tsdf_all, (start, 0), (TB, cfg.r3)).reshape(
-            TB, R, R, R
-        )
-        w0 = jax.lax.dynamic_slice(wgt_all, (start, 0), (TB, cfg.r3)).reshape(
-            TB, R, R, R
-        )
-        v0 = w0 > weight_threshold
+        slots_safe = jnp.minimum(slots, cap)  # sentinel row = zeros
+        coords = state.block_coords[slots_safe]
+        t0 = tsdf_all[slots_safe].reshape(TB, R, R, R)
+        w0 = wgt_all[slots_safe].reshape(TB, R, R, R)
+        v0 = (w0 > weight_threshold) & block_ok[:, None, None, None]
 
         # In-block clamped central-difference gradients (normal field).
         def grad(axis):
@@ -397,18 +404,23 @@ def _extract_points_jit(
             rank = jnp.cumsum(flat_cross.astype(jnp.int32))
             idx = jnp.where(flat_cross, total + rank - 1, max_points)
             idx = jnp.where(idx < max_points, idx, max_points)
-            out_p = out_p.at[idx].set(pos.reshape(-1, 3), mode="drop")
-            out_n = out_n.at[idx].set(normal.reshape(-1, 3), mode="drop")
+            # Flat (3*(max_points+1),) buffers: (N, 3) would be layout-padded
+            # 42.7x in HBM (see _extract_mesh_jit).
+            idx3 = (idx[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :])
+            out_p = out_p.at[idx3.reshape(-1)].set(pos.reshape(-1), mode="drop")
+            out_n = out_n.at[idx3.reshape(-1)].set(
+                normal.reshape(-1), mode="drop"
+            )
             total = total + rank[-1]
 
         return (out_p, out_n, total)
 
-    out_p = jnp.zeros((max_points + 1, 3), jnp.float32)
-    out_n = jnp.zeros((max_points + 1, 3), jnp.float32)
+    out_p = jnp.zeros(((max_points + 1) * 3,), jnp.float32)
+    out_n = jnp.zeros(((max_points + 1) * 3,), jnp.float32)
     out_p, out_n, total = jax.lax.fori_loop(
         0, n_tiles, tile_body, (out_p, out_n, jnp.asarray(0, jnp.int32))
     )
-    return out_p[:max_points], out_n[:max_points], total
+    return out_p[: max_points * 3], out_n[: max_points * 3], total
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_bucket", "max_verts", "max_tris"))
@@ -431,7 +443,8 @@ def _extract_mesh_jit(
     cap = cfg.block_count
     vs = cfg.voxel_size
     TB = min(128, n_bucket)
-    n_tiles = n_bucket // TB
+    # Ceil division + clamped gathers: see _extract_points_jit.
+    n_tiles = (n_bucket + TB - 1) // TB
     R3 = cfg.r3
 
     from mq3d_tpu.ops.mc_tables import CORNERS, build_tables, edge_owner
@@ -452,19 +465,20 @@ def _extract_mesh_jit(
     def build_ext(start):
         """(TB, R+1, R+1, R+1) tsdf/valid + (TB, 8) neighbor slot ids
         (self + 7 neighbors in `neighbor_offsets` order)."""
-        coords = jax.lax.dynamic_slice(state.block_coords, (start, 0), (TB, 3))
-        t0 = jax.lax.dynamic_slice(state.tsdf, (start, 0), (TB, R3)).reshape(
-            TB, R, R, R
-        )
-        w0 = jax.lax.dynamic_slice(state.weight, (start, 0), (TB, R3)).reshape(
-            TB, R, R, R
-        )
+        slots = jnp.arange(TB, dtype=jnp.int32) + start
+        in_range = slots < state.n_active
+        slots_safe = jnp.minimum(slots, cap)  # sentinel row = zeros
+        coords = state.block_coords[slots_safe]
+        t0 = state.tsdf[slots_safe].reshape(TB, R, R, R)
+        w0 = state.weight[slots_safe].reshape(TB, R, R, R)
         ext_t = jnp.zeros((TB, R + 1, R + 1, R + 1), jnp.float32)
         ext_v = jnp.zeros((TB, R + 1, R + 1, R + 1), bool)
         ext_t = ext_t.at[:, :R, :R, :R].set(t0)
-        ext_v = ext_v.at[:, :R, :R, :R].set(w0 > weight_threshold)
+        ext_v = ext_v.at[:, :R, :R, :R].set(
+            (w0 > weight_threshold) & in_range[:, None, None, None]
+        )
 
-        nb_slots = [jnp.arange(TB, dtype=jnp.int32) + start]
+        nb_slots = [jnp.where(in_range, slots, -1)]
         for off in neighbor_offsets:
             nb_key = _block_keys(coords + jnp.asarray(off, jnp.int32), G)
             nb_slot = state.slot_table[jnp.minimum(nb_key, G ** 3 - 1)]
@@ -497,7 +511,7 @@ def _extract_mesh_jit(
         start = t * TB
         slots_self = jnp.arange(TB, dtype=jnp.int32) + start
         block_ok = slots_self < state.n_active
-        coords = jax.lax.dynamic_slice(state.block_coords, (start, 0), (TB, 3))
+        coords = state.block_coords[jnp.minimum(slots_self, cap)]
         ext_t, ext_v, nb_slots = build_ext(start)
 
         # ---- vertices: crossings along each axis ------------------------------
@@ -525,7 +539,12 @@ def _extract_mesh_jit(
             rank = jnp.cumsum(flat_cross.astype(jnp.int32))
             idx = jnp.where(flat_cross, nv + rank - 1, max_verts)
             idx = jnp.minimum(idx, max_verts)
-            out_v = out_v.at[idx].set(pos.reshape(-1, 3), mode="drop")
+            # out_v is flat (3*(max_verts+1),): a (N, 3) f32 buffer would get
+            # a T(8,128) padded layout (42.7x HBM expansion at 4M verts).
+            idx3 = (idx[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :])
+            out_v = out_v.at[idx3.reshape(-1)].set(
+                pos.reshape(-1), mode="drop"
+            )
             out_vk = out_vk.at[idx].set(keys.reshape(-1), mode="drop")
             nv = nv + rank[-1]
 
@@ -579,31 +598,37 @@ def _extract_mesh_jit(
         rankt = jnp.cumsum(flat_tri.astype(jnp.int32))
         idxt = jnp.where(flat_tri, nt + rankt - 1, max_tris)
         idxt = jnp.minimum(idxt, max_tris)
-        out_tk = out_tk.at[idxt].set(tri_keys.reshape(-1, 3), mode="drop")
+        # Flat (3*(max_tris+1),) buffer for the same layout reason as out_v.
+        idxt3 = (idxt[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :])
+        out_tk = out_tk.at[idxt3.reshape(-1)].set(
+            tri_keys.reshape(-1), mode="drop"
+        )
         nt = nt + rankt[-1]
 
         return (out_v, out_vk, out_tk, nv, nt)
 
-    out_v = jnp.zeros((max_verts + 1, 3), jnp.float32)
+    out_v = jnp.zeros(((max_verts + 1) * 3,), jnp.float32)
     out_vk = jnp.full((max_verts + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    out_tk = jnp.zeros((max_tris + 1, 3), jnp.int32)
+    out_tk = jnp.zeros(((max_tris + 1) * 3,), jnp.int32)
     out_v, out_vk, out_tk, nv, nt = jax.lax.fori_loop(
         0, n_tiles, tile_body,
         (out_v, out_vk, out_tk, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
-    out_v = out_v[:max_verts]
+    out_v = out_v[: max_verts * 3]
     out_vk = out_vk[:max_verts]
-    out_tk = out_tk[:max_tris]
+    out_tk = out_tk[: max_tris * 3]
 
     # ---- resolve triangle edge keys -> vertex indices -------------------------
+    # All int32 on flat 1-D arrays: (N, 3)-shaped intermediates here would be
+    # layout-padded 42.7x and x64 promotion would double sort temps.
     order = jnp.argsort(out_vk)
     keys_sorted = out_vk[order]
-    pos_in_sorted = jnp.searchsorted(keys_sorted, out_tk.reshape(-1))
+    pos_in_sorted = jnp.searchsorted(keys_sorted, out_tk).astype(jnp.int32)
     pos_clamped = jnp.minimum(pos_in_sorted, max_verts - 1)
-    found = keys_sorted[pos_clamped] == out_tk.reshape(-1)
-    tri_idx = jnp.where(found, order[pos_clamped], 0).reshape(-1, 3)
-    tri_ok = found.reshape(-1, 3).all(-1)
-    tri_idx = jnp.where(tri_ok[:, None], tri_idx, -1)
+    found = keys_sorted[pos_clamped] == out_tk
+    tri_idx = jnp.where(found, order[pos_clamped], 0)  # flat (3*max_tris,)
+    tri_ok = found[0::3] & found[1::3] & found[2::3]  # (max_tris,)
+    tri_idx = jnp.where(jnp.repeat(tri_ok, 3), tri_idx, -1)
 
     return out_v, tri_idx, nv, nt
 
@@ -611,6 +636,11 @@ def _extract_mesh_jit(
 # ---------------------------------------------------------------------------
 # Host-side volume wrapper with persistence + extraction
 # ---------------------------------------------------------------------------
+
+# Device-extraction (n_bucket, capacities) signatures that failed to
+# compile/run; retried calls re-raise immediately instead of burning another
+# compile attempt per extraction.
+_DEVICE_EXTRACT_FAILED: set = set()
 
 
 class TSDFVolume:
@@ -624,7 +654,21 @@ class TSDFVolume:
 
     def __init__(self, cfg: TSDFConfig, state: Optional[TSDFState] = None):
         self.cfg = cfg
+        self._state_version = 0
         self.state = state if state is not None else create_state(cfg)
+
+    @property
+    def state(self) -> TSDFState:
+        return self._state
+
+    @state.setter
+    def state(self, value: TSDFState):
+        # Monotonic revision for caches keyed on volume contents (e.g. the
+        # raycast scene prep): integrate_chunk donates the old state, so the
+        # freed array's id() can be reused by CPython and id-keyed caches
+        # would return stale data.
+        self._state = value
+        self._state_version += 1
 
     # -- integration ------------------------------------------------------------
 
@@ -699,6 +743,7 @@ class TSDFVolume:
             ),
             n_active=jnp.asarray(n, jnp.int32),
             overflow=jnp.zeros((), jnp.int32),
+            dropped_active=jnp.zeros((), jnp.int32),
         )
         return vol
 
@@ -926,10 +971,19 @@ class TSDFVolume:
         while n_bucket < self.n_active:
             n_bucket *= 2
         n_bucket = min(n_bucket, self.cfg.block_count)
-        verts, tri_idx, nv, nt = _extract_mesh_jit(
-            self.cfg, self.state, jnp.float32(weight_threshold),
-            n_bucket, max_verts, max_tris,
-        )
+        sig = ("mesh", n_bucket, max_verts, max_tris)
+        if sig in _DEVICE_EXTRACT_FAILED:
+            raise RuntimeError("device extraction previously failed at this size")
+        try:
+            verts, tri_idx, nv, nt = _extract_mesh_jit(
+                self.cfg, self.state, jnp.float32(weight_threshold),
+                n_bucket, max_verts, max_tris,
+            )
+        except Exception:
+            # Remember the failure: each retry would waste a ~100 s compile
+            # attempt (e.g. HBM OOM at over-sized capacities).
+            _DEVICE_EXTRACT_FAILED.add(sig)
+            raise
         nv = fetch_int(nv)
         nt = fetch_int(nt)
         if nv > max_verts or nt > max_tris:
@@ -939,8 +993,8 @@ class TSDFVolume:
             )
             nv = min(nv, max_verts)
             nt = min(nt, max_tris)
-        verts = np.asarray(verts[:nv], np.float64)
-        tris = np.asarray(tri_idx[:nt], np.int64)
+        verts = np.asarray(verts, np.float64).reshape(-1, 3)[:nv]
+        tris = np.asarray(tri_idx, np.int64).reshape(-1, 3)[:nt]
         tris = tris[(tris >= 0).all(axis=1) & (tris < nv).all(axis=1)]
         # Drop unreferenced vertices (edges valid between voxel pairs that
         # belong to no fully-valid cube).
@@ -963,16 +1017,23 @@ class TSDFVolume:
         while n_bucket < self.n_active:
             n_bucket *= 2
         n_bucket = min(n_bucket, self.cfg.block_count)
-        pts, nrm, count = _extract_points_jit(
-            self.cfg, self.state, jnp.float32(weight_threshold),
-            n_bucket, max_points,
-        )
+        sig = ("points", n_bucket, max_points)
+        if sig in _DEVICE_EXTRACT_FAILED:
+            raise RuntimeError("device extraction previously failed at this size")
+        try:
+            pts, nrm, count = _extract_points_jit(
+                self.cfg, self.state, jnp.float32(weight_threshold),
+                n_bucket, max_points,
+            )
+        except Exception:
+            _DEVICE_EXTRACT_FAILED.add(sig)
+            raise
         c = fetch_int(count)
         if c > max_points:
             print(f"[Warning] point extraction truncated: {c} > {max_points}")
             c = max_points
-        points = np.asarray(pts[:c], np.float64)
-        normals = np.asarray(nrm[:c], np.float64)
+        points = np.asarray(pts, np.float64).reshape(-1, 3)[:c]
+        normals = np.asarray(nrm, np.float64).reshape(-1, 3)[:c]
         norm = np.linalg.norm(normals, axis=-1, keepdims=True)
         normals = normals / np.maximum(norm, 1e-12)
         return PointCloud(points=points, normals=normals)

@@ -121,6 +121,7 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data"):
         active_slots = (
             jnp.full((M + 1,), cap, jnp.int32).at[list_idx].set(slot_table, mode="drop")
         )[:M]
+        dropped_active = state.dropped_active + jnp.maximum(rank2[-1] - M, 0)
 
         # ---- local integration over the frame shard -------------------------
         H, W = depth.shape[1], depth.shape[2]
@@ -191,7 +192,10 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data"):
         )
         new_t = new_t.at[cap].set(0.0)
         new_w = new_w.at[cap].set(0.0)
-        return TSDFState(slot_table, block_coords, new_t, new_w, n_active, overflow)
+        return TSDFState(
+            slot_table, block_coords, new_t, new_w, n_active, overflow,
+            dropped_active,
+        )
 
     sharded = jax.shard_map(
         step_local,

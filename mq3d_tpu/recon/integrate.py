@@ -134,4 +134,12 @@ def integrate(
             f"[Warning] TSDF block capacity exceeded: {overflow} "
             f"allocations dropped (block_count={vol.cfg.block_count})"
         )
+    dropped = fetch_int(vol.state.dropped_active)
+    if dropped > 0:
+        print(
+            f"[Warning] TSDF chunk active-block capacity exceeded: {dropped} "
+            f"block-chunk integrations skipped (chunk_active_capacity="
+            f"{vol.cfg.chunk_active_capacity}; raise it or reduce the chunk "
+            f"size — depth observations were dropped)"
+        )
     return vol

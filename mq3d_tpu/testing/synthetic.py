@@ -126,7 +126,10 @@ def render_box_depth(
             # First positive intersection (camera is inside, so every ray
             # exits; take min positive t, verifying the hit is on the face).
             t = np.where(np.isfinite(t) & (t > 1e-9), t, np.inf)
-            p = c + t[..., None] * d_world
+            # Mask inf before the multiply (inf * 0 -> NaN RuntimeWarning);
+            # rays with masked t stay inf through the on_face where below.
+            t_safe = np.where(np.isfinite(t), t, 0.0)
+            p = c + t_safe[..., None] * d_world
             others = [a for a in range(3) if a != axis]
             on_face = np.ones((h, w), dtype=bool)
             for a in others:

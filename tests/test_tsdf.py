@@ -220,3 +220,92 @@ class TestDeviceExtraction:
         dc1, _ = cKDTree(ch).query(cd)
         dc2, _ = cKDTree(cd).query(ch)
         assert dc1.max() < 2e-6 and dc2.max() < 2e-6
+
+
+def _plane_volume(n_blocks: int) -> TSDFVolume:
+    """Volume with exactly n_blocks active blocks, each containing a tsdf
+    zero crossing (a plane at local x = 7.5 in every block)."""
+    import jax.numpy as jnp
+
+    from mq3d_tpu.ops.tsdf import TSDFState, create_state
+
+    R = 16
+    G = 16
+    cfg = TSDFConfig(
+        voxel_size=0.05, block_resolution=R, block_count=n_blocks, grid_dim=G
+    )
+    h = G // 2
+    # n_blocks distinct coords inside [-G/2, G/2)^3.
+    idx = np.arange(n_blocks)
+    coords = np.stack(
+        [idx % G - h, (idx // G) % G - h, (idx // (G * G)) % G - h], -1
+    ).astype(np.int32)
+    x = np.arange(R ** 3) // (R * R)  # x-major flat layout (_voxel_offsets)
+    tsdf_row = ((x - 7.5) / 8.0).astype(np.float32)
+    tsdf = np.tile(tsdf_row, (n_blocks, 1))
+    weight = np.full((n_blocks, R ** 3), 5.0, np.float32)
+
+    keys = ((coords[:, 0] + h) * G + coords[:, 1] + h) * G + coords[:, 2] + h
+    slot_table = np.full((G ** 3,), -1, np.int32)
+    slot_table[keys] = np.arange(n_blocks, dtype=np.int32)
+
+    base = create_state(cfg)
+    vol = TSDFVolume(cfg)
+    vol.state = TSDFState(
+        slot_table=jnp.asarray(slot_table),
+        block_coords=base.block_coords.at[:n_blocks].set(coords),
+        tsdf=base.tsdf.at[:n_blocks].set(tsdf),
+        weight=base.weight.at[:n_blocks].set(weight),
+        n_active=jnp.asarray(n_blocks, jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+        dropped_active=jnp.zeros((), jnp.int32),
+    )
+    return vol
+
+
+class TestPartialTiles:
+    """Regression: extraction must not skip trailing blocks when the active
+    block count is not a multiple of the device tile size (mesh TB=128,
+    points TB=512).  A loaded volume has block_count == exact saved count, so
+    floor division dropped up to TB-1 blocks' surface (ADVICE r1, high)."""
+
+    @pytest.mark.parametrize("n_blocks", [129, 513])
+    def test_device_mesh_covers_all_blocks(self, n_blocks, tmp_path):
+        vol = _plane_volume(n_blocks)
+        host = vol.extract_triangle_mesh(1.5, device=False)
+        dev = vol.extract_triangle_mesh(1.5, device=True)
+        assert len(dev.vertices) == len(host.vertices)
+        assert len(dev.triangles) == len(host.triangles)
+        # Through the save/load path (the advisor's exact repro).
+        p = tmp_path / "vbg.npz"
+        vol.save(p)
+        loaded = TSDFVolume.load(p)
+        dev2 = loaded.extract_triangle_mesh(1.5, device=True)
+        assert len(dev2.vertices) == len(host.vertices)
+
+    def test_device_points_cover_all_blocks(self, tmp_path):
+        vol = _plane_volume(513)
+        host = vol.extract_point_cloud(1.5, device=False)
+        dev = vol.extract_point_cloud(1.5, device=True)
+        assert len(dev) == len(host)
+
+
+def test_dropped_active_counter():
+    """Chunks touching more than chunk_active_capacity blocks must count the
+    skipped integrations instead of silently dropping observations."""
+    cfg = TSDFConfig(
+        voxel_size=0.05,
+        block_resolution=16,
+        block_count=2048,
+        grid_dim=16,
+        chunk_active_capacity=4,  # absurdly small to force the drop
+        integrate_tile=4,
+    )
+    vol = TSDFVolume(cfg)
+    # One frame seeing a wall 1m away fills far more than 4 blocks.
+    H = W = 64
+    depth = np.full((1, H, W), 1.0, np.float32)
+    K = np.array([[[60.0, 0, 32.0], [0, 60.0, 32.0], [0, 0, 1]]], np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+    vol.integrate(depth, K, T)
+    assert int(np.asarray(vol.state.dropped_active)) > 0
