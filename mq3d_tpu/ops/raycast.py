@@ -4,20 +4,33 @@ The reference renders color-aligned depth by building an Embree
 RaycastingScene over the extracted mesh and casting pinhole rays per frame
 (reference: scripts/processing/reconstruction/utils/o3d_utils.py:324-341,
 reconstruct_scene.py:180-226).  A BVH is the wrong tool on TPU; since we own
-the TSDF volume we sphere-trace it directly, in two phases built around a
-one-time scene preparation:
+the TSDF volume we sphere-trace it directly.
 
-  prep   (per volume, cached)
-         - block occupancy grid (G^3 bytes)
-         - block-level Chebyshev distance-to-occupied field via separable
-           3x3x3 min-dilations -> coarse sphere tracing steps
-         - packed voxel table: tsdf where observed, +2.0 sentinel where not
-           (one gather yields value AND validity)
-  march  coarse phase: one byte gather per step, step length scaled by the
-         distance field (typically ~10 steps to reach a surface block)
-         fine phase: trilinear sphere tracing inside the truncation band
-         with sign-change interpolation; repeats coarse+fine rounds for
-         grazing rays that cross a band without a surface hit
+TPU-first design, sized by measured v5e rates (tools/probe_gather*.py):
+random gathers run at only ~30-70 M/s and every extra launch pays a ~10 ms+
+tunneled-dispatch cost, so the renderer (a) fuses the whole frame batch into
+ONE jitted program and (b) budgets *gathers per output pixel*:
+
+  prep    (per volume revision, cached)
+          - slot_dist (G^3,) int32 fused table: >= 0 -> block slot, < 0 ->
+            minus the block-level Chebyshev distance to the nearest
+            allocated block (one gather = slot AND skip distance)
+          - ext (n_bucket*17^3+1,) f32: per-block extended tsdf (the +1
+            face/edge/corner voxels copied from the 7 positive neighbors),
+            +2.0 sentinel where unobserved.  Trilinear cells never straddle
+            blocks, so one slot lookup serves all 8 corners.
+  march   unified while_loop, 2 gathers/step: tsdf-proportional steps in the
+          truncation band, Chebyshev block skips in empty space; returns a
+          bracketing sample pair around the zero crossing.
+  refine  bracket expanded one voxel (nearest-voxel staircase noise), 6
+          dense trilinear samples re-bracket on the smooth field, then two
+          false-position iterations + closing secant (~75 gathers, only
+          where it runs) -> ~0.001 mm residual on the trilinear field.
+  pyramid 1/8 -> 1/4 marched+refined in full; 1/2 and 1/1 are DENSE
+          upsamplings in 1/z (bilinear on inverse depth is exact for planar
+          surfaces) with march+refine only for *edge pixels* (depth
+          discontinuities / curvature), which are compacted to a fixed-
+          capacity buffer first so the while_loop never runs at full width.
 
 Matches Open3D's t_hit convention: pinhole ray directions are the
 *unnormalized* K^-1 (u,v,1), so t_hit equals camera z-depth; misses are inf.
@@ -33,176 +46,440 @@ import numpy as np
 
 from mq3d_tpu.ops.tsdf import TSDFConfig, TSDFState, TSDFVolume, _block_keys
 
-_SENTINEL = 2.0  # packed-table value for unobserved voxels (tsdf in [-1,1])
-_DIST_MAX = 8  # distance-field saturation (blocks)
+_SENTINEL = 2.0  # ext-table value for unobserved voxels (tsdf in [-1, 1])
+_DIST_MAX = 15  # Chebyshev distance-field saturation (blocks)
+_EXT = 17  # extended block side (R + 1)
+_EXT3 = _EXT * _EXT * _EXT
+_F32 = jnp.float32  # x64 is enabled package-wide; pin everything
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def prepare_scene(cfg: TSDFConfig, state: TSDFState):
-    """Precompute (occ_dist (G^3,) uint8, packed (cap+1, R^3) f32)."""
+@partial(jax.jit, static_argnames=("cfg", "n_bucket"))
+def prepare_scene(cfg: TSDFConfig, state: TSDFState, n_bucket: int):
+    """Precompute (slot_dist (G^3,) int32, ext (n_bucket*17^3+1,) f32).
+
+    n_bucket is a static power-of-two bucket >= n_active so the ext table
+    is sized by actual occupancy, not capacity (a 50k-block table would be
+    ~1 GB; a real scene's ~8k blocks are ~160 MB)."""
     G = cfg.grid_dim
+    R = cfg.block_resolution
+    cap = cfg.block_count
+
     occupied = state.slot_table >= 0
 
-    # Chebyshev distance to the nearest occupied block, saturated at
-    # _DIST_MAX: iterate separable 3-window min-dilations.
+    # Chebyshev distance to the nearest allocated block, saturated at
+    # _DIST_MAX: separable 3-window min-dilations (K rounds = exact up to K).
+    # jnp.roll wraps at borders, which only *shrinks* steps — conservative.
     dist = jnp.where(occupied, 0, _DIST_MAX).astype(jnp.int32).reshape(G, G, G)
 
-    # One dilation round = min over the 26-neighborhood + 1, computed
-    # separably; K rounds give exact Chebyshev distance up to K.  jnp.roll
-    # wraps at the borders, which can only *shrink* a step — conservative.
     def dilate_round(d, _):
         m = d
         for axis in range(3):
-            m = jnp.minimum(m, jnp.minimum(jnp.roll(m, 1, axis), jnp.roll(m, -1, axis)))
+            m = jnp.minimum(
+                m, jnp.minimum(jnp.roll(m, 1, axis), jnp.roll(m, -1, axis))
+            )
         return jnp.minimum(d, m + 1), None
 
     dist, _ = jax.lax.scan(dilate_round, dist, None, length=_DIST_MAX)
-    occ_dist = dist.reshape(-1).astype(jnp.uint8)
+    slot_dist = jnp.where(
+        occupied, state.slot_table, -dist.reshape(-1)
+    ).astype(jnp.int32)
 
     packed = jnp.where(state.weight > 0, state.tsdf, _SENTINEL)
-    packed = packed.at[cfg.block_count].set(_SENTINEL)
-    return occ_dist, packed
+    packed = packed.at[cap].set(_SENTINEL)  # sentinel row
+
+    neighbor_offsets = [
+        (1, 0, 0), (0, 1, 0), (0, 0, 1),
+        (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+    ]
+
+    slots = jnp.arange(n_bucket, dtype=jnp.int32)
+    in_range = slots < state.n_active
+    slots_safe = jnp.minimum(slots, cap)
+    coords = state.block_coords[slots_safe]
+    own = packed[slots_safe].reshape(n_bucket, R, R, R)
+    own = jnp.where(in_range[:, None, None, None], own, _SENTINEL)
+
+    ext = jnp.full((n_bucket, _EXT, _EXT, _EXT), _SENTINEL, _F32)
+    ext = ext.at[:, :R, :R, :R].set(own)
+    for off in neighbor_offsets:
+        nb_key = _block_keys(coords + jnp.asarray(off, jnp.int32), G)
+        nb_slot = state.slot_table[jnp.minimum(nb_key, G ** 3 - 1)]
+        nb_ok = (nb_key < G ** 3) & (nb_slot >= 0) & in_range
+        nb = packed[jnp.where(nb_ok, nb_slot, cap)].reshape(n_bucket, R, R, R)
+        src = tuple(slice(0, 1) if o else slice(0, R) for o in off)
+        dst = tuple(slice(R, R + 1) if o else slice(0, R) for o in off)
+        val = jnp.where(
+            nb_ok[:, None, None, None], nb[(slice(None),) + src], _SENTINEL
+        )
+        ext = ext.at[(slice(None),) + dst].set(val)
+
+    ext_flat = jnp.concatenate(
+        [ext.reshape(-1), jnp.full((1,), _SENTINEL, _F32)]
+    )
+    return slot_dist, ext_flat
 
 
-def _sample_packed(state_slot_table, packed, cfg: TSDFConfig, p):
-    """Trilinear tsdf sample from the packed table at world points (..., 3).
-    Returns (tsdf, valid); 2 gathers per corner."""
+def _sample_ids(cfg: TSDFConfig, n_bucket: int, slot_dist, g):
+    """Integer lattice coords g (..., 3) -> (ext index, slot_dist value)."""
     R = cfg.block_resolution
     G = cfg.grid_dim
-    cap = cfg.block_count
+    b = jnp.floor_divide(g, R)
+    local = g - b * R
+    key = _block_keys(b, G)
+    sd = jnp.where(
+        key < G ** 3,
+        slot_dist[jnp.minimum(key, G ** 3 - 1)],
+        jnp.int32(-_DIST_MAX),
+    )
+    li = (local[..., 0] * _EXT + local[..., 1]) * _EXT + local[..., 2]
+    idx = jnp.where(sd >= 0, sd * _EXT3 + li, n_bucket * _EXT3)
+    return idx, sd
+
+
+def _trilinear(cfg: TSDFConfig, n_bucket: int, slot_dist, ext, p):
+    """Trilinear tsdf at world points (..., 3): 1 slot + 8 value gathers.
+    Returns (value, valid)."""
     gf = p / cfg.voxel_size
     g0 = jnp.floor(gf).astype(jnp.int32)
-    frac = gf - g0
+    frac = (gf - g0).astype(_F32)
+    idx0, sd = _sample_ids(cfg, n_bucket, slot_dist, g0)
 
-    tsdf_acc = jnp.zeros(p.shape[:-1], jnp.float32)
-    valid = jnp.ones(p.shape[:-1], bool)
-    for corner in range(8):
-        dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-        g = g0 + jnp.asarray([dx, dy, dz], jnp.int32)
-        b = jnp.floor_divide(g, R)
-        local = g - b * R
-        key = _block_keys(b, G)
-        slot = state_slot_table[jnp.minimum(key, G ** 3 - 1)]
-        ok = (key < G ** 3) & (slot >= 0)
-        li = (local[..., 0] * R + local[..., 1]) * R + local[..., 2]
-        t = packed[jnp.where(ok, slot, cap), li]
-        ok &= t < 1.5
-        wgt = (
+    acc = jnp.zeros(p.shape[:-1], _F32)
+    valid = sd >= 0
+    for c in range(8):
+        dx, dy, dz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+        off = (dx * _EXT + dy) * _EXT + dz
+        v = ext[idx0 + off]
+        ok = v < 1.5
+        w = (
             jnp.where(dx, frac[..., 0], 1 - frac[..., 0])
             * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
             * jnp.where(dz, frac[..., 2], 1 - frac[..., 2])
         )
-        tsdf_acc = tsdf_acc + wgt * jnp.where(ok, t, 0.0)
+        acc = acc + w * jnp.where(ok, v, 0.0)
         valid &= ok
-    return tsdf_acc, valid
+    return acc, valid
 
 
-@partial(jax.jit, static_argnames=("cfg", "rounds", "coarse_steps", "fine_steps"))
-def _march_rays(
-    cfg: TSDFConfig,
-    slot_table,
-    occ_dist,
-    packed,
-    origins,  # (N, 3)
-    dirs,  # (N, 3) unnormalized (camera z = 1 convention)
-    t_min,
-    t_max,
-    rounds: int = 3,
-    coarse_steps: int = 48,
-    fine_steps: int = 20,
-):
+def _secant(ta, va, tb, vb):
+    denom = va - vb
+    f = jnp.where(
+        jnp.abs(denom) > 1e-12, va / jnp.where(denom == 0, 1.0, denom), 0.5
+    )
+    return ta + jnp.clip(f, 0.0, 1.0) * (tb - ta)
+
+
+def _march(cfg, slot_dist, ext, n_bucket, origins, dirs, t_init, t_min,
+           t_max, max_iter):
+    """Unified sphere march.  Returns (found, ta, tb, va, vb): a bracketing
+    pair of consecutive nearest-voxel samples around the first + -> -
+    crossing.  2 gathers per iteration."""
     n = origins.shape[0]
-    G = cfg.grid_dim
-    dir_norm = jnp.linalg.norm(dirs, axis=-1)
-    inv_dn = 1.0 / jnp.maximum(dir_norm, 1e-9)
+    vs = cfg.voxel_size
     bs = cfg.block_size
     trunc = cfg.trunc
-    fine_min = cfg.voxel_size * 0.5
+    inv_dn = 1.0 / jnp.maximum(jnp.linalg.norm(dirs, axis=-1), 1e-9)
 
-    def block_dist(p):
-        b = jnp.floor(p / bs).astype(jnp.int32)
-        key = _block_keys(b, G)
-        d = occ_dist[jnp.minimum(key, G ** 3 - 1)].astype(jnp.float32)
-        return jnp.where(key < G ** 3, d, jnp.float32(_DIST_MAX))
+    def body(c):
+        t, ta, tb, va, vb, prev_t, prev_v, prev_ok, found, active, it = c
+        p = origins + dirs * t[:, None]
+        g = jnp.round(p / vs).astype(jnp.int32)
+        idx, sd = _sample_ids(cfg, n_bucket, slot_dist, g)
+        v = ext[idx]
+        valid = (sd >= 0) & (v < 1.5)
 
-    def coarse_phase(t, active):
-        """Advance active rays until inside an occupied block (dist == 0)."""
+        crossed = active & valid & prev_ok & (prev_v > 0) & (v <= 0)
+        ta = jnp.where(crossed, prev_t, ta)
+        tb = jnp.where(crossed, t, tb)
+        va = jnp.where(crossed, prev_v, va)
+        vb = jnp.where(crossed, v, vb)
+        found = found | crossed
+        active = active & ~crossed
 
-        def cond(c):
-            t, active, it = c
-            return jnp.any(active) & (it < coarse_steps)
+        # In the band: tsdf-proportional; unobserved voxel inside an
+        # allocated block: one voxel; empty space: Chebyshev block skip.
+        step_band = jnp.maximum(v * trunc * 0.7, vs * 0.75)
+        step_empty = jnp.maximum((-sd).astype(_F32) - 1.0, 0.5) * bs
+        step = jnp.where(sd >= 0, jnp.where(valid, step_band, vs), step_empty)
 
-        def body(c):
-            t, active, it = c
-            p = origins + dirs * t[:, None]
-            d = block_dist(p)
-            arrived = d <= 0
-            # Sphere-trace: safe metric distance is (d-1) blocks (Chebyshev
-            # lower-bounds Euclidean); at least half a block.
-            step = jnp.maximum(d - 1.0, 0.5) * bs
-            dt = step * inv_dn
-            t = t + jnp.where(active & ~arrived, dt, 0.0)
-            active = active & ~arrived & (t <= t_max)
-            return (t, active, it + 1)
+        prev_t = jnp.where(active, t, prev_t)
+        prev_v = jnp.where(active, v, prev_v)
+        prev_ok = jnp.where(active, valid, prev_ok)
+        t = t + jnp.where(active, step * inv_dn, 0.0)
+        active = active & (t <= t_max)
+        return (t, ta, tb, va, vb, prev_t, prev_v, prev_ok, found, active,
+                it + 1)
 
-        t, active, _ = jax.lax.while_loop(
-            cond, body, (t, active, jnp.asarray(0, jnp.int32))
+    def cond(c):
+        return jnp.any(c[-2]) & (c[-1] < max_iter)
+
+    z = jnp.zeros((n,), _F32)
+    t0 = jnp.maximum(t_init, t_min).astype(_F32)
+    init = (
+        t0, z, z, z, z, t0, z,
+        jnp.zeros((n,), bool), jnp.zeros((n,), bool),
+        jnp.ones((n,), bool), jnp.asarray(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    t, ta, tb, va, vb = out[:5]
+    found = out[8]
+    return found, ta, tb, va, vb
+
+
+_REFINE_SAMPLES = 6  # dense re-bracket samples per found ray
+
+
+def _refine(cfg, slot_dist, ext, n_bucket, origins, dirs, found, ta, tb,
+            va, vb):
+    """Bracket -> accurate t_hit on the *trilinear* field (the same field
+    marching cubes extracts).  ~75 gathers per found ray.
+
+    The march brackets are nearest-voxel samples with up to half a voxel of
+    staircase noise, so the trilinear zero crossing can sit slightly OUTSIDE
+    [ta, tb].  Expand the bracket by one voxel both ways, sample the
+    trilinear field densely (6 points), take the first + -> - transition,
+    then two false-position iterations + closing secant: ~0.05 mm residual
+    on smooth surfaces."""
+    inv_dn = 1.0 / jnp.maximum(jnp.linalg.norm(dirs, axis=-1), 1e-9)
+    vt = cfg.voxel_size * inv_dn  # one voxel, in t units
+    lo = jnp.maximum(ta - vt, 0.0)
+    hi = tb + vt
+
+    M = _REFINE_SAMPLES
+    w = jnp.linspace(0.0, 1.0, M, dtype=_F32)
+    ts = lo[:, None] + (hi - lo)[:, None] * w[None, :]  # (n, M)
+    p = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+    v, ok = _trilinear(cfg, n_bucket, slot_dist, ext, p)  # (n, M)
+
+    pair_ok = ok[:, :-1] & ok[:, 1:]
+    cross = pair_ok & (v[:, :-1] > 0) & (v[:, 1:] <= 0)
+    has = jnp.any(cross, axis=1)
+    first = jnp.argmax(cross, axis=1)
+    rows = jnp.arange(ts.shape[0])
+    ta2 = jnp.where(has, ts[rows, first], ta)
+    tb2 = jnp.where(has, ts[rows, first + 1], tb)
+    va2 = jnp.where(has, v[rows, first], va)
+    vb2 = jnp.where(has, v[rows, first + 1], vb)
+
+    for _ in range(2):
+        tm = _secant(ta2, va2, tb2, vb2)
+        pm = origins + dirs * tm[:, None]
+        vm, ok_m = _trilinear(cfg, n_bucket, slot_dist, ext, pm)
+        pos = ok_m & (vm > 0)
+        neg = ok_m & (vm <= 0)
+        ta2 = jnp.where(pos, tm, ta2)
+        va2 = jnp.where(pos, vm, va2)
+        tb2 = jnp.where(neg, tm, tb2)
+        vb2 = jnp.where(neg, vm, vb2)
+    t_hit = _secant(ta2, va2, tb2, vb2)
+    return jnp.where(found, t_hit, jnp.inf)
+
+
+def _min_pool3(x):
+    """3x3 min filter with edge replication over the last two axes of a
+    (F, h, w) stack."""
+    for axis in (1, 2):
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+            axis=axis,
         )
-        return t
-
-    def fine_phase(t, hit, searching):
-        """Trilinear sphere tracing inside the band; returns updated state."""
-
-        def cond(c):
-            t, hit, searching, prev_t, prev_ok, last_dt, it = c
-            return jnp.any(searching) & (it < fine_steps)
-
-        def body(c):
-            t, hit, searching, prev_tsdf, prev_ok, last_dt, it = c
-            p = origins + dirs * t[:, None]
-            tsdf, ok = _sample_packed(slot_table, packed, cfg, p)
-
-            crossed = searching & ok & prev_ok & (prev_tsdf > 0) & (tsdf <= 0)
-            denom = prev_tsdf - tsdf
-            frac = jnp.where(
-                jnp.abs(denom) > 1e-12, prev_tsdf / jnp.where(denom == 0, 1.0, denom), 0.0
-            )
-            hit = jnp.where(crossed, (t - last_dt) + frac * last_dt, hit)
-            searching = searching & ~crossed
-
-            # In the band: tsdf-proportional steps; out of the band
-            # (invalid sample): hand back to coarse by stopping fine.
-            step = jnp.where(ok, jnp.maximum(tsdf * trunc * 0.8, fine_min), bs * 0.5)
-            dt = step * inv_dn
-            t_new = t + jnp.where(searching, dt, 0.0)
-            searching = searching & (t_new <= t_max)
-            return (t_new, hit, searching, tsdf, ok, jnp.where(searching, dt, last_dt), it + 1)
-
-        t, hit, searching, *_ = jax.lax.while_loop(
-            cond,
-            body,
-            (
-                t, hit, searching,
-                jnp.zeros((n,), jnp.float32),
-                jnp.zeros((n,), bool),
-                jnp.full((n,), bs * 0.5, jnp.float32),
-                jnp.asarray(0, jnp.int32),
-            ),
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                                  axis=axis)],
+            axis=axis,
         )
-        return t, hit, searching
+        x = jnp.minimum(x, jnp.minimum(lo, hi))
+    return x
 
-    t = jnp.full((n,), t_min, jnp.float32) * jnp.ones_like(dir_norm)
-    hit = jnp.full((n,), jnp.inf, jnp.float32)
-    active = jnp.ones((n,), bool)
 
-    def round_body(_, carry):
-        t, hit, active = carry
-        t = coarse_phase(t, active)
-        t, hit, active = fine_phase(t, hit, active & (t <= t_max))
-        return (t, hit, active)
+def _max_pool3(x):
+    return -_min_pool3(-x)
 
-    t, hit, active = jax.lax.fori_loop(0, rounds, round_body, (t, hit, active))
-    return hit
+
+def _ray_dirs(K, Rcw, s, h_l, w_l):
+    """(F, h_l, w_l, 3) world ray directions for pyramid scale s (z-depth
+    parameterization: camera-frame z component is 1)."""
+    F = K.shape[0]
+    u = (jnp.arange(w_l, dtype=_F32) + 0.5) * s - 0.5
+    v = (jnp.arange(h_l, dtype=_F32) + 0.5) * s - 0.5
+    fx = K[:, 0, 0][:, None, None]
+    fy = K[:, 1, 1][:, None, None]
+    cx = K[:, 0, 2][:, None, None]
+    cy = K[:, 1, 2][:, None, None]
+    one = jnp.ones((F, h_l, w_l), _F32)
+    d_cam = jnp.stack(
+        [(u[None, None, :] - cx) / fx * one,
+         (v[None, :, None] - cy) / fy * one,
+         one],
+        axis=-1,
+    ).astype(_F32)
+    return jnp.einsum("fij,fhwj->fhwi", Rcw, d_cam)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_bucket", "width", "height", "edge_cap"),
+)
+def _render_frames(
+    cfg: TSDFConfig,
+    slot_dist,
+    ext,
+    n_bucket: int,
+    K,  # (F, 3, 3) f32
+    Rcw,  # (F, 3, 3) f32 camera-to-world rotations
+    origin,  # (F, 3) f32 camera centers
+    t_min,
+    t_max,
+    width: int,
+    height: int,
+    edge_cap: int,
+    edge_eps,
+):
+    """Full coherent pyramid for a batch of frames in ONE launch.
+
+    Returns ((F, height, width) z-depth with inf misses, edge overflow count).
+    """
+    F = K.shape[0]
+    vs = cfg.voxel_size
+    pad = 3.0 * vs
+
+    scales = []
+    s = 8
+    while s > 1 and (width % s or height % s):
+        s //= 2
+    while s >= 1:
+        scales.append(s)
+        s //= 2
+
+    def level_shape(s):
+        return height // s, width // s
+
+    def march_refine_full(s, t_init_flat, max_iter):
+        h_l, w_l = level_shape(s)
+        dirs = _ray_dirs(K, Rcw, s, h_l, w_l).reshape(-1, 3)
+        origins = jnp.broadcast_to(
+            origin[:, None, None, :], (F, h_l, w_l, 3)
+        ).reshape(-1, 3)
+        found, ta, tb, va, vb = _march(
+            cfg, slot_dist, ext, n_bucket, origins, dirs, t_init_flat,
+            t_min, t_max, max_iter,
+        )
+        t_hit = _refine(
+            cfg, slot_dist, ext, n_bucket, origins, dirs, found, ta, tb,
+            va, vb,
+        )
+        return t_hit.reshape(F, h_l, w_l)
+
+    def init_from(parent, h_l, w_l):
+        pm = _min_pool3(parent)
+        pm = jnp.repeat(jnp.repeat(pm, 2, axis=1), 2, axis=2)[:, :h_l, :w_l]
+        return jnp.where(
+            jnp.isfinite(pm), jnp.maximum(pm - pad, t_min), t_min
+        ).reshape(-1)
+
+    # ---- coarse levels: full march + refine -----------------------------------
+    s0 = scales[0]
+    h0, w0 = level_shape(s0)
+    z = march_refine_full(
+        s0, jnp.full((F * h0 * w0,), t_min, _F32), 96
+    )
+    coarse_scales, fine_scales = scales[1:2], scales[2:]
+    for s in coarse_scales:
+        h_l, w_l = level_shape(s)
+        z = march_refine_full(s, init_from(z, h_l, w_l), 16)
+
+    # ---- fine levels: dense 1/z upsampling + compacted edge re-march ----------
+    overflow = jnp.asarray(0, jnp.int32)
+    for s in fine_scales:
+        h_l, w_l = level_shape(s)
+        h_p, w_p = z.shape[1], z.shape[2]
+
+        # Planarity/validity on the parent: a pixel is an "edge" if any 3x3
+        # neighbor is a miss or the inverse depth is locally non-planar
+        # (|second difference of 1/z| above edge_eps).  Bilinear on 1/z is
+        # exact for planar surfaces, so everything else upsamples densely.
+        invz = jnp.where(jnp.isfinite(z), 1.0 / z, 0.0)
+        finite = jnp.isfinite(z)
+        d2u = jnp.abs(
+            invz
+            - 0.5 * (jnp.roll(invz, 1, axis=2) + jnp.roll(invz, -1, axis=2))
+        )
+        d2v = jnp.abs(
+            invz
+            - 0.5 * (jnp.roll(invz, 1, axis=1) + jnp.roll(invz, -1, axis=1))
+        )
+        edge_p = (
+            (~finite)
+            | (_max_pool3((~finite).astype(_F32)) > 0)
+            | (jnp.maximum(d2u, d2v) > edge_eps)
+        )
+        edge_p = _max_pool3(edge_p.astype(_F32)) > 0  # dilate once
+
+        # Dense upsample of 1/z (half-pixel-center aligned 2x bilinear).
+        invz_up = jax.image.resize(invz, (F, h_l, w_l), method="linear")
+        z_up = jnp.where(invz_up > 1e-9, 1.0 / invz_up, jnp.inf)
+        edge = jnp.repeat(jnp.repeat(edge_p, 2, axis=1), 2, axis=2)[
+            :, :h_l, :w_l
+        ]
+
+        # Conservative per-pixel start depth from the parent.
+        t0_full = init_from(z, h_l, w_l)
+
+        # ---- compact edge pixel ids to a fixed-capacity buffer ---------------
+        flat_edge = edge.reshape(-1)
+        n_px = F * h_l * w_l
+        rank = jnp.cumsum(flat_edge.astype(jnp.int32))
+        n_edge = rank[-1]
+        slot = jnp.where(flat_edge, rank - 1, edge_cap)
+        slot = jnp.minimum(slot, edge_cap)
+        ids = (
+            jnp.full((edge_cap + 1,), n_px, jnp.int32)
+            .at[slot]
+            .set(jnp.arange(n_px, dtype=jnp.int32), mode="drop")
+        )[:edge_cap]
+        overflow = overflow + jnp.maximum(n_edge - edge_cap, 0)
+        ids_safe = jnp.minimum(ids, n_px - 1)
+        live = ids < n_px
+
+        # Rays for the compacted ids, rebuilt arithmetically (no gathers
+        # except t_init and the frame index lookups).
+        fidx = ids_safe // (h_l * w_l)
+        pix = ids_safe % (h_l * w_l)
+        py = (pix // w_l).astype(_F32) * s + (0.5 * s - 0.5)
+        px = (pix % w_l).astype(_F32) * s + (0.5 * s - 0.5)
+        fx = K[fidx, 0, 0]
+        fy = K[fidx, 1, 1]
+        cx = K[fidx, 0, 2]
+        cy = K[fidx, 1, 2]
+        d_cam = jnp.stack(
+            [(px - cx) / fx, (py - cy) / fy, jnp.ones((edge_cap,), _F32)],
+            axis=-1,
+        )
+        dirs_e = jnp.einsum("nij,nj->ni", Rcw[fidx], d_cam)
+        origins_e = origin[fidx]
+        # Dead lanes (beyond the live edge count) start past t_max so the
+        # while_loop retires them on iteration one instead of marching
+        # duplicate rays for the full budget.
+        t0_e = jnp.where(live, t0_full[ids_safe], t_max + 1.0)
+
+        found, ta, tb, va, vb = _march(
+            cfg, slot_dist, ext, n_bucket, origins_e, dirs_e, t0_e,
+            t_min, t_max, 24,
+        )
+        t_hit_e = _refine(
+            cfg, slot_dist, ext, n_bucket, origins_e, dirs_e, found, ta, tb,
+            va, vb,
+        )
+        z = (
+            z_up.reshape(-1)
+            .at[jnp.where(live, ids_safe, n_px)]
+            .set(jnp.where(live, t_hit_e, 0.0), mode="drop")
+            .reshape(F, h_l, w_l)
+        )
+
+    return z, overflow
 
 
 class _ScenePrep:
@@ -222,14 +499,60 @@ class _ScenePrep:
 
         cached = self._vol_ref() if self._vol_ref is not None else None
         if cached is not volume or self._version != volume._state_version:
-            occ_dist, packed = prepare_scene(volume.cfg, volume.state)
-            self._value = (occ_dist, packed)
+            n_bucket = 256
+            while n_bucket < volume.n_active:
+                n_bucket *= 2
+            n_bucket = min(n_bucket, volume.cfg.block_count)
+            slot_dist, ext = prepare_scene(volume.cfg, volume.state, n_bucket)
+            self._value = (slot_dist, ext, n_bucket)
             self._vol_ref = weakref.ref(volume)
             self._version = volume._state_version
         return self._value
 
 
 _prep_cache = _ScenePrep()
+
+
+def raycast_depth_batch(
+    volume: TSDFVolume,
+    intrinsics: np.ndarray,  # (F, 3, 3) with cx already mirror-flipped
+    extrinsics_wc: np.ndarray,  # (F, 4, 4)
+    width: int,
+    height: int,
+    t_min: float = 0.05,
+    t_max: float | None = None,
+    edge_eps: float = 1e-3,
+) -> np.ndarray:
+    """Render (F, H, W) z-depth maps from the TSDF volume in one launch.
+    inf = miss."""
+    cfg = volume.cfg
+    t_max = t_max if t_max is not None else cfg.depth_max * 1.5
+    slot_dist, ext, n_bucket = _prep_cache.get(volume)
+
+    T_cw = np.linalg.inv(np.asarray(extrinsics_wc, np.float64)).astype(
+        np.float32
+    )
+    F = intrinsics.shape[0]
+    # Edge capacity: silhouettes + curvature are perimeter-ish. 1/16 of the
+    # pixels bounds the march width (the gather budget scales with this
+    # static cap, not the live count); overflowed pixels keep the dense
+    # 1/z-upsampled value, they are not lost.
+    edge_cap = max(F * width * height // 16, 4096)
+    z, overflow = _render_frames(
+        cfg, slot_dist, ext, n_bucket,
+        jnp.asarray(intrinsics, _F32),
+        jnp.asarray(T_cw[:, :3, :3]),
+        jnp.asarray(T_cw[:, :3, 3]),
+        jnp.float32(t_min), jnp.float32(t_max),
+        width, height, edge_cap, jnp.float32(edge_eps),
+    )
+    n_over = int(np.asarray(overflow))
+    if n_over > 0:
+        print(
+            f"[Warning] raycast edge budget exceeded by {n_over} px; "
+            "they keep interpolated depth"
+        )
+    return np.asarray(z)
 
 
 def raycast_depth(
@@ -240,54 +563,46 @@ def raycast_depth(
     height: int,
     t_min: float = 0.05,
     t_max: float | None = None,
-    ray_chunk: int = 524288,
 ) -> np.ndarray:
     """Render one z-depth map from the TSDF volume. inf = miss."""
-    cfg = volume.cfg
-    t_max = t_max if t_max is not None else cfg.depth_max * 1.5
-    occ_dist, packed = _prep_cache.get(volume)
-
-    T_cw = np.linalg.inv(np.asarray(extrinsic_wc, np.float64)).astype(np.float32)
-    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
-    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
-    u, v = np.meshgrid(np.arange(width), np.arange(height))
-    d_cam = np.stack(
-        [(u - cx) / fx, (v - cy) / fy, np.ones_like(u, np.float32)], -1
-    ).astype(np.float32)
-    dirs = (d_cam.reshape(-1, 3) @ T_cw[:3, :3].T).astype(np.float32)
-    origin = np.broadcast_to(T_cw[:3, 3], dirs.shape).astype(np.float32)
-
-    n = dirs.shape[0]
-    chunk = min(ray_chunk, 1 << int(np.ceil(np.log2(max(n, 1)))))
-    out = np.empty(n, np.float32)
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        o = origin[s:e]
-        d = dirs[s:e]
-        if e - s < chunk:  # pad to static shape
-            pad = chunk - (e - s)
-            o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
-            d = np.concatenate([d, np.ones((pad, 3), np.float32)])
-        t_hit = _march_rays(
-            volume.cfg, volume.state.slot_table, occ_dist, packed,
-            jnp.asarray(o), jnp.asarray(d),
-            jnp.float32(t_min), jnp.float32(t_max),
-        )
-        out[s:e] = np.asarray(t_hit)[: e - s]
-    return out.reshape(height, width)
+    return raycast_depth_batch(
+        volume,
+        np.asarray(intrinsic, np.float32)[None],
+        np.asarray(extrinsic_wc, np.float64)[None],
+        width,
+        height,
+        t_min=t_min,
+        t_max=t_max,
+    )[0]
 
 
-def raycast_in_color_view(volume: TSDFVolume, dataset):
+def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8):
     """Generator over per-frame z-depth maps for a camera dataset, matching
     the reference surface (o3d_utils.py:324-341).  Dataset transforms must be
-    in the OPEN3D camera frame."""
+    in the OPEN3D camera frame.  Frames render `frames_per_batch` per device
+    launch (one fused program) and are yielded one by one."""
     K = dataset.get_render_intrinsic_matrices()
     T_wc = dataset.transforms.extrinsics_wc
-    for i in range(len(dataset)):
-        yield raycast_depth(
+    n = len(dataset)
+    widths = np.asarray(dataset.widths)
+    heights = np.asarray(dataset.heights)
+    i = 0
+    while i < n:
+        j = i + 1
+        while (
+            j < n
+            and j - i < frames_per_batch
+            and widths[j] == widths[i]
+            and heights[j] == heights[i]
+        ):
+            j += 1
+        batch = raycast_depth_batch(
             volume,
-            K[i],
-            T_wc[i],
-            int(dataset.widths[i]),
-            int(dataset.heights[i]),
+            np.asarray(K[i:j], np.float32),
+            np.asarray(T_wc[i:j], np.float64),
+            int(widths[i]),
+            int(heights[i]),
         )
+        for k in range(j - i):
+            yield batch[k]
+        i = j

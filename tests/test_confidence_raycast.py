@@ -172,7 +172,6 @@ class TestRaycast:
         i = 0
         rendered = raycast_depth(
             vol, K[i], T_wc[i], int(ds.widths[i]), int(ds.heights[i]),
-            ray_chunk=8192,
         )
         analytic = depth[i]
         hit = np.isfinite(rendered) & (analytic > 0) & (analytic < 3.9)
