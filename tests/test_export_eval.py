@@ -181,11 +181,93 @@ class TestQuality:
         )
         m1 = compute_raw_metrics(cube)
         m2 = compute_raw_metrics(noisy)
-        assert np.isfinite(m1.aspect_ratio_mean)
+        assert np.isfinite(m1.mean_aspect_ratio)
         assert m1.boundary_edge_ratio == 0.0
+        assert m1.is_watertight and m1.is_manifold
+        assert m1.is_single_component and m1.component_count == 1
+        assert m1.degenerate_triangles == 0
+        assert m1.total_edges == 18  # closed cube: E = 3V - 6 = 18
+        # Unit-cube right triangles: aspect sqrt(2), equiangle skew 0.5;
+        # jitter degrades both.
+        assert m1.mean_aspect_ratio == pytest.approx(np.sqrt(2))
+        assert m1.mean_skewness == pytest.approx(0.5)
+        assert m2.mean_aspect_ratio > m1.mean_aspect_ratio
+        # Cube dihedral distribution: coplanar pairs 0 deg, face edges
+        # 90 deg -> penalty = 30 - 0 = 30.
+        assert m1.dihedral_min_deg == pytest.approx(0.0, abs=1e-9)
+        assert m1.dihedral_max_deg == pytest.approx(90.0)
+        assert m1.dihedral_penalty == pytest.approx(30.0)
         scores = score_batch([m1, m2])
-        q1, q2 = scores[0].q, scores[1].q
-        assert 0.0 <= q2 <= q1 <= 1.0  # clean cube scores at least as well
+        for s in scores:
+            assert 0.0 <= s.q <= 1.0
+
+    def test_score_formula_exact(self):
+        """Batch scores reproduce the reference formula on hand-built
+        metrics (reference evaluate_fbx_quality.py:475-589)."""
+        from mq3d_tpu.eval.quality import (
+            RawMeshMetrics, compute_quality_scores)
+
+        good = RawMeshMetrics(
+            name="good", mean_aspect_ratio=1.2, mean_skewness=0.1,
+            degenerate_triangles=0, non_manifold_edges=0,
+            boundary_edge_ratio=0.0, component_count=1, total_edges=100,
+            normal_deviation_avg_deg=5.0, dihedral_min_deg=80.0,
+            dihedral_max_deg=100.0, dihedral_penalty=0.0,
+            surface_roughness=2.0, is_single_component=True,
+            vertex_density_stddev=1.0, has_color=True,
+            uncolored_vertex_ratio=0.0, color_gradient_stddev=0.05,
+            is_manifold=True, is_watertight=True,
+            num_vertices=100, num_triangles=200)
+        bad = RawMeshMetrics(
+            name="bad", mean_aspect_ratio=4.0, mean_skewness=0.8,
+            degenerate_triangles=10, non_manifold_edges=5,
+            boundary_edge_ratio=0.3, component_count=7, total_edges=100,
+            normal_deviation_avg_deg=40.0, dihedral_min_deg=5.0,
+            dihedral_max_deg=178.0, dihedral_penalty=33.0,
+            surface_roughness=30.0, is_single_component=False,
+            vertex_density_stddev=9.0, has_color=False,
+            uncolored_vertex_ratio=1.0, color_gradient_stddev=0.0,
+            is_manifold=False, is_watertight=False,
+            num_vertices=100, num_triangles=200)
+        s_good, s_bad = compute_quality_scores([good, bad])
+        # good wins every min-max -> all its normalized badness terms are 0
+        assert s_good.S_shape == pytest.approx(1.0)
+        assert s_good.S_topology == pytest.approx(1.0)
+        assert s_good.S_bonuses == pytest.approx(1.0)
+        assert s_good.S_geom == pytest.approx(0.25 + 0.15 + 0.10)
+        assert s_good.S_smooth == pytest.approx(1.0)
+        assert s_good.S_complete == pytest.approx(
+            0.5 * 1.0 + 0.3 * 1.0 + 0.2 * 1.0)
+        # Reference quirk: colorless meshes join the gradient min-max at
+        # 0.0, so the colored mesh's gradient normalizes to 1.
+        assert s_good.S_color == pytest.approx(0.5 * 1.0 + 0.5 * 0.0)
+        assert s_good.Q_raw == pytest.approx(
+            0.50 * 0.5 + 0.25 * 1.0 + 0.15 * 1.0 + 0.10 * 0.5)
+        assert s_good.Q_norm == 1.0 and s_bad.Q_norm == 0.0
+        # colorless mesh gets the neutral color score
+        assert s_bad.S_color == pytest.approx(0.5)
+        assert s_bad.S_complete == pytest.approx(0.5 * 0.7 + 0.0 + 0.0)
+
+    def test_scores_csv_schema(self, tmp_path, rng):
+        """quality_scores.csv carries the reference's exact column set so
+        the analysis scripts can consume it."""
+        from mq3d_tpu.eval.quality import (
+            CSV_FIELDS, compute_quality_scores, write_scores_csv)
+        import csv as _csv
+
+        cube = make_cube_mesh()
+        cube.vertex_colors = rng.random((8, 3))
+        m = compute_raw_metrics(cube, name="m_fog", path="/tmp/m.ply")
+        scores = compute_quality_scores([m, m])
+        out = tmp_path / "quality_scores.csv"
+        write_scores_csv(scores, out)
+        with out.open() as f:
+            reader = _csv.DictReader(f)
+            assert reader.fieldnames == CSV_FIELDS
+            rows = list(reader)
+        assert len(rows) == 2
+        assert rows[0]["name"] == "m_fog"
+        assert rows[0]["is_watertight"] == "True"
 
 
 class TestSamplingFilter:
@@ -212,3 +294,43 @@ class TestSamplingFilter:
         # keep-largest fallback when nothing passes
         out2 = filter_mesh_components(mesh, min_triangle_count=100)
         assert len(out2.triangles) == 12
+
+
+class TestQualityCLI:
+    def test_pair_mode_artifacts(self, tmp_path, rng):
+        """--pair mode writes the full scores CSV, pairwise_summary.csv and
+        the self-contained HTML report (reference
+        evaluate_fbx_quality.py:679-1029)."""
+        from mq3d_tpu.dataio.ply import write_ply_mesh
+        from mq3d_tpu.eval.quality import CSV_FIELDS
+        from scripts.evaluate_mesh_quality import main
+        import csv as _csv
+
+        cube = make_cube_mesh()
+        cube.vertex_colors = rng.random((8, 3))
+        noisy = TriangleMesh(
+            cube.vertices + rng.normal(scale=0.05, size=(8, 3)),
+            cube.triangles, vertex_colors=rng.random((8, 3)))
+        fog_p = tmp_path / "fog.ply"
+        nofog_p = tmp_path / "nofog.ply"
+        write_ply_mesh(fog_p, cube)
+        write_ply_mesh(nofog_p, noisy)
+
+        out_csv = tmp_path / "quality_scores.csv"
+        report_dir = tmp_path / "batch"
+        main(["--pair", str(fog_p), str(nofog_p),
+              "--csv", str(out_csv), "--report-dir", str(report_dir)])
+
+        with out_csv.open() as f:
+            reader = _csv.DictReader(f)
+            assert reader.fieldnames == CSV_FIELDS
+            rows = {r["name"]: r for r in reader}
+        assert set(rows) == {"1_fog", "1_nofog"}
+
+        with (report_dir / "pairwise_summary.csv").open() as f:
+            summary = list(_csv.DictReader(f))
+        assert len(summary) == 1
+        assert float(summary[0]["delta_nofog_minus_fog"]) == pytest.approx(
+            float(rows["1_nofog"]["Q_norm"]) - float(rows["1_fog"]["Q_norm"]))
+        html = (report_dir / "pairwise_quality_report.html").read_text()
+        assert "base64" in html and "Fog vs NoFog" in html
