@@ -72,6 +72,10 @@ def main():
                         help="explicit clustering voxel size (overrides --ratio)")
     parser.add_argument("--uniform_k", type=int, default=None,
                         help="point clouds: keep every k-th point")
+    parser.add_argument("--method", choices=["quadric", "cluster"],
+                        default="quadric",
+                        help="mesh decimation method (quadric = QEM edge "
+                             "collapse, the reference's primary path)")
     args = parser.parse_args()
 
     in_path = args.input
@@ -86,8 +90,20 @@ def main():
     if isinstance(geom, TriangleMesh) and len(geom.triangles):
         if args.voxel:
             out = vertex_clustering_decimate(geom, args.voxel)
-        else:
+        elif args.method == "cluster":
             out = decimate_to_ratio(geom, args.ratio)
+        else:
+            # Primary path: quadric-error-metric decimation (reference
+            # downsample_fbx_mesh.py:214-247 uses Open3D
+            # simplify_quadric_decimation first, clustering as fallback).
+            from mq3d_tpu.ops.decimate import simplify_to_ratio
+
+            out = simplify_to_ratio(geom, args.ratio)
+            target = int(len(geom.triangles) * args.ratio)
+            if len(out.triangles) > target * 1.3:
+                print("[Info] Quadric decimation off target, fine-tuning "
+                      "with vertex clustering")
+                out = decimate_to_ratio(geom, args.ratio)
         print(f"[Info] Mesh: {len(geom.triangles)} -> {len(out.triangles)} triangles")
         if args.output.suffix.lower() == ".fbx":
             from mq3d_tpu.export.fbx import convert_ply_to_fbx
