@@ -709,9 +709,126 @@ class TSDFVolume:
             trunc_voxel_multiplier=self.cfg.trunc_voxel_multiplier,
         )
 
+    # -- Open3D VoxelBlockGrid npz interop -------------------------------------
+    #
+    # Open3D's VoxelBlockGrid.save/load (the reference's cache format at
+    # scripts/dataio/reconstruction_data_io.py:42-55) writes an npz with
+    #   key              (N, 3) int32 signed block coordinates
+    #   attr_tsdf        (N, R, R, R, 1) float32
+    #   attr_weight      (N, R, R, R, 1) float32 (or uint16)
+    #   attr_color       (N, R, R, R, 3) float32, optional
+    #   voxel_size       (1,) float64
+    #   block_resolution (1,) int64
+    # (open3d t/geometry/VoxelBlockGrid.cpp Save/Load).  Per-block voxel
+    # tensors index [z][y][x] (x fastest, matching the kernels' linear
+    # index); our layout is x-slowest, so axes transpose on the way
+    # through.  The reader is schema-tolerant: value_/attr_ prefixes,
+    # scalar or 1-element config entries, flat or expanded block shapes.
+
+    def save_open3d_npz(self, path: Path):
+        """Write the volume in Open3D VoxelBlockGrid.save schema so the
+        reference pipeline can load our cache."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        n = self.n_active
+        R = self.cfg.block_resolution
+        tsdf = np.asarray(self.state.tsdf[:n]).reshape(n, R, R, R)
+        weight = np.asarray(self.state.weight[:n]).reshape(n, R, R, R)
+        np.savez_compressed(
+            path,
+            key=np.asarray(self.state.block_coords[:n], np.int32),
+            attr_tsdf=tsdf.transpose(0, 3, 2, 1)[..., None]
+            .astype(np.float32),
+            attr_weight=weight.transpose(0, 3, 2, 1)[..., None]
+            .astype(np.float32),
+            voxel_size=np.asarray([self.cfg.voxel_size], np.float64),
+            block_resolution=np.asarray([self.cfg.block_resolution],
+                                        np.int64),
+        )
+
+    @staticmethod
+    def _o3d_field(data, name):
+        for key in (f"attr_{name}", f"value_{name}", name):
+            if key in data:
+                return data[key]
+        return None
+
+    @classmethod
+    def load_open3d_npz(
+        cls,
+        path: Path,
+        grid_dim: int = 160,
+        depth_max: float = 4.0,
+        trunc_voxel_multiplier: float = 10.0,
+    ) -> "TSDFVolume":
+        """Load an Open3D-written colorless_vbg.npz into a TSDFVolume.
+
+        Open3D does not persist depth_max / truncation, so those runtime
+        knobs come from the pipeline config (same defaults as the
+        reference's pipeline_config.yml)."""
+        data = np.load(path)
+        coords = np.asarray(
+            data["key"] if "key" in data else data["keys"], np.int32)
+        R = int(np.ravel(data["block_resolution"])[0])
+        voxel = float(np.ravel(data["voxel_size"])[0])
+        tsdf = cls._o3d_field(data, "tsdf")
+        weight = cls._o3d_field(data, "weight")
+        if tsdf is None or weight is None:
+            raise ValueError(
+                f"{path}: no tsdf/weight attributes in VBG npz "
+                f"(keys: {sorted(data.keys())})")
+        n = coords.shape[0]
+
+        def to_blocks(a):
+            a = np.asarray(a)
+            a = a.reshape(n, R, R, R)  # drops trailing channel dim if any
+            return a.transpose(0, 3, 2, 1).reshape(n, R ** 3)
+
+        weight = np.asarray(weight)
+        if weight.dtype == np.uint16:  # Open3D's compact weight option
+            weight = weight.astype(np.float32)
+
+        cfg = TSDFConfig(
+            voxel_size=voxel,
+            block_resolution=R,
+            block_count=max(n, 1),
+            grid_dim=grid_dim,
+            depth_max=depth_max,
+            trunc_voxel_multiplier=trunc_voxel_multiplier,
+        )
+        vol = cls(cfg)
+        G = cfg.grid_dim
+        h = G // 2
+        keys = (((coords[:, 0] + h) * G + coords[:, 1] + h) * G
+                + coords[:, 2] + h)
+        if keys.min(initial=0) < 0 or keys.max(initial=0) >= G ** 3:
+            raise ValueError(
+                f"{path}: block coords exceed grid_dim={G} "
+                f"(range {coords.min()}..{coords.max()})")
+        slot_table = np.full((G ** 3,), -1, np.int32)
+        slot_table[keys] = np.arange(n, dtype=np.int32)
+        vol.state = TSDFState(
+            slot_table=jnp.asarray(slot_table),
+            block_coords=jnp.asarray(
+                np.concatenate([coords, np.zeros((1, 3), np.int32)])),
+            tsdf=jnp.asarray(np.concatenate(
+                [to_blocks(tsdf).astype(np.float32),
+                 np.zeros((1, cfg.r3), np.float32)])),
+            weight=jnp.asarray(np.concatenate(
+                [to_blocks(weight).astype(np.float32),
+                 np.zeros((1, cfg.r3), np.float32)])),
+            n_active=jnp.asarray(n, jnp.int32),
+            overflow=jnp.zeros((), jnp.int32),
+            dropped_active=jnp.zeros((), jnp.int32),
+        )
+        return vol
+
     @classmethod
     def load(cls, path: Path) -> "TSDFVolume":
         data = np.load(path)
+        if "block_coords" not in data and (
+                "key" in data or "keys" in data):
+            return cls.load_open3d_npz(path)
         R = int(data["block_resolution"])
         cfg = TSDFConfig(
             voxel_size=float(data["voxel_size"]),
