@@ -22,15 +22,15 @@ ONE jitted program and (b) budgets *gathers per output pixel*:
   march   unified while_loop, 2 gathers/step: tsdf-proportional steps in the
           truncation band, Chebyshev block skips in empty space; returns a
           bracketing sample pair around the zero crossing.
-  refine  bracket expanded one voxel (nearest-voxel staircase noise), 6
+  refine  bracket expanded one voxel (nearest-voxel staircase noise), 4
           dense trilinear samples re-bracket on the smooth field, then two
-          false-position iterations + closing secant (~75 gathers, only
-          where it runs) -> ~0.001 mm residual on the trilinear field.
-  pyramid 1/8 -> 1/4 marched+refined in full; 1/2 and 1/1 are DENSE
-          upsamplings in 1/z (bilinear on inverse depth is exact for planar
-          surfaces) with march+refine only for *edge pixels* (depth
-          discontinuities / curvature), which are compacted to a fixed-
-          capacity buffer first so the while_loop never runs at full width.
+          false-position iterations + closing secant (~54 gathers, only
+          where it runs) -> ~0.01 mm residual on the trilinear field.
+  pyramid only 1/8 is marched+refined in full; every finer level is a
+          DENSE upsampling in 1/z (bilinear on inverse depth is exact for
+          planar surfaces) with march+refine only for *edge pixels* (depth
+          discontinuities / curvature), compacted to per-level fixed-
+          capacity buffers so the while_loop never runs at full width.
 
 Matches Open3D's t_hit convention: pinhole ray directions are the
 *unnormalized* K^-1 (u,v,1), so t_hit equals camera z-depth; misses are inf.
@@ -226,20 +226,22 @@ def _march(cfg, slot_dist, ext, n_bucket, origins, dirs, t_init, t_min,
     return found, ta, tb, va, vb
 
 
-_REFINE_SAMPLES = 6  # dense re-bracket samples per found ray
+_REFINE_SAMPLES = 4  # dense re-bracket samples per found ray
+_REFINE_ITERS = 2  # false-position iterations on the re-bracket
 
 
 def _refine(cfg, slot_dist, ext, n_bucket, origins, dirs, found, ta, tb,
             va, vb):
     """Bracket -> accurate t_hit on the *trilinear* field (the same field
-    marching cubes extracts).  ~75 gathers per found ray.
+    marching cubes extracts).  ~(9*(_REFINE_SAMPLES+_REFINE_ITERS)) gathers
+    per found ray.
 
     The march brackets are nearest-voxel samples with up to half a voxel of
     staircase noise, so the trilinear zero crossing can sit slightly OUTSIDE
     [ta, tb].  Expand the bracket by one voxel both ways, sample the
-    trilinear field densely (6 points), take the first + -> - transition,
-    then two false-position iterations + closing secant: ~0.05 mm residual
-    on smooth surfaces."""
+    trilinear field densely, take the first + -> - transition, then
+    false-position iterations + closing secant: ~0.01 mm residual on smooth
+    surfaces (the field is near-linear inside a cell)."""
     inv_dn = 1.0 / jnp.maximum(jnp.linalg.norm(dirs, axis=-1), 1e-9)
     vt = cfg.voxel_size * inv_dn  # one voxel, in t units
     lo = jnp.maximum(ta - vt, 0.0)
@@ -261,7 +263,7 @@ def _refine(cfg, slot_dist, ext, n_bucket, origins, dirs, found, ta, tb,
     va2 = jnp.where(has, v[rows, first], va)
     vb2 = jnp.where(has, v[rows, first + 1], vb)
 
-    for _ in range(2):
+    for _ in range(_REFINE_ITERS):
         tm = _secant(ta2, va2, tb2, vb2)
         pm = origins + dirs * tm[:, None]
         vm, ok_m = _trilinear(cfg, n_bucket, slot_dist, ext, pm)
@@ -379,22 +381,29 @@ def _render_frames(
             jnp.isfinite(pm), jnp.maximum(pm - pad, t_min), t_min
         ).reshape(-1)
 
-    # ---- coarse levels: full march + refine -----------------------------------
+    # ---- base level: full march + refine --------------------------------------
+    # Only the 1/8 level marches in full; every finer level upsamples
+    # densely and re-marches edges only.  At 1280x960 an 8-pixel feature at
+    # room distance is ~1 voxel — geometry the TSDF cannot represent
+    # anyway — so the base sampling does not drop recoverable surface.
     s0 = scales[0]
     h0, w0 = level_shape(s0)
     z = march_refine_full(
         s0, jnp.full((F * h0 * w0,), t_min, _F32), 96
     )
-    coarse_scales, fine_scales = scales[1:2], scales[2:]
-    for s in coarse_scales:
-        h_l, w_l = level_shape(s)
-        z = march_refine_full(s, init_from(z, h_l, w_l), 16)
+    fine_scales = scales[1:]
 
     # ---- fine levels: dense 1/z upsampling + compacted edge re-march ----------
     overflow = jnp.asarray(0, jnp.int32)
     for s in fine_scales:
         h_l, w_l = level_shape(s)
         h_p, w_p = z.shape[1], z.shape[2]
+        # Intermediate levels tolerate tighter caps: pixels that overflow
+        # keep interpolated depth and any resulting 1/z anomaly re-flags
+        # them at the next level, so only the full-res cap is quality-
+        # critical.
+        frac = 16 if s == 1 else 32
+        cap_l = min(max(F * h_l * w_l // frac, 4096), edge_cap)
 
         # Planarity/validity on the parent: a pixel is an "edge" if any 3x3
         # neighbor is a miss or the inverse depth is locally non-planar
@@ -432,14 +441,14 @@ def _render_frames(
         n_px = F * h_l * w_l
         rank = jnp.cumsum(flat_edge.astype(jnp.int32))
         n_edge = rank[-1]
-        slot = jnp.where(flat_edge, rank - 1, edge_cap)
-        slot = jnp.minimum(slot, edge_cap)
+        slot = jnp.where(flat_edge, rank - 1, cap_l)
+        slot = jnp.minimum(slot, cap_l)
         ids = (
-            jnp.full((edge_cap + 1,), n_px, jnp.int32)
+            jnp.full((cap_l + 1,), n_px, jnp.int32)
             .at[slot]
             .set(jnp.arange(n_px, dtype=jnp.int32), mode="drop")
-        )[:edge_cap]
-        overflow = overflow + jnp.maximum(n_edge - edge_cap, 0)
+        )[:cap_l]
+        overflow = overflow + jnp.maximum(n_edge - cap_l, 0)
         ids_safe = jnp.minimum(ids, n_px - 1)
         live = ids < n_px
 
@@ -454,7 +463,7 @@ def _render_frames(
         cx = K[fidx, 0, 2]
         cy = K[fidx, 1, 2]
         d_cam = jnp.stack(
-            [(px - cx) / fx, (py - cy) / fy, jnp.ones((edge_cap,), _F32)],
+            [(px - cx) / fx, (py - cy) / fy, jnp.ones((cap_l,), _F32)],
             axis=-1,
         )
         dirs_e = jnp.einsum("nij,nj->ni", Rcw[fidx], d_cam)
