@@ -282,8 +282,23 @@ def integrate_chunk(
         )
         return (tsdf_arr, weight_arr)
 
-    tsdf_arr, weight_arr = jax.lax.fori_loop(
-        0, n_tiles, tile_body, (state.tsdf, state.weight)
+    # Dynamic tile count: the active list is compacted to the front, so only
+    # ceil(actual_active / TM) tiles carry work — a chunk typically touches
+    # a small fraction of chunk_active_capacity and the static bound would
+    # burn ~M/actual x the compute (the inner loop is the pipeline's #1
+    # FLOP sink).  lax.while_loop supports the data-dependent trip count.
+    n_act_chunk = jnp.minimum(rank2[-1], M)
+    n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
+
+    def tile_cond(c):
+        return c[0] < n_tiles_dyn
+
+    def tile_step(c):
+        t, arrs = c
+        return (t + 1, tile_body(t, arrs))
+
+    _, (tsdf_arr, weight_arr) = jax.lax.while_loop(
+        tile_cond, tile_step, (jnp.int32(0), (state.tsdf, state.weight))
     )
     # Keep the sentinel row zeroed.
     tsdf_arr = tsdf_arr.at[cap].set(0.0)

@@ -67,15 +67,57 @@ def _local_alloc_keys(cfg: TSDFConfig, depth, intrinsics, T_cw, frame_valid):
     return jnp.where(valid_px[..., None], keys, G ** 3).reshape(-1)
 
 
-def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data"):
+def padded_rows(cfg: TSDFConfig, n_dev: int) -> int:
+    """Voxel-table row count for the partitioned state: cap+1 (sentinel)
+    rounded up to a device multiple so the block axis shards evenly."""
+    cap1 = cfg.block_count + 1
+    return ((cap1 + n_dev - 1) // n_dev) * n_dev
+
+
+def create_state_partitioned(cfg: TSDFConfig, mesh: Mesh,
+                             axis: str = "data") -> TSDFState:
+    """TSDFState whose tsdf/weight rows are sharded over the mesh block
+    axis (extra pad rows beyond the sentinel are never addressed)."""
+    from jax.sharding import NamedSharding
+
+    n_dev = int(mesh.devices.size)
+    rows = padded_rows(cfg, n_dev)
+    base = create_state(cfg)
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def grow(a):
+        pad = jnp.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)
+        return jax.device_put(jnp.concatenate([a, pad]), shard)
+
+    return TSDFState(
+        slot_table=jax.device_put(base.slot_table, repl),
+        block_coords=jax.device_put(base.block_coords, repl),
+        tsdf=grow(base.tsdf),
+        weight=grow(base.weight),
+        n_active=jax.device_put(base.n_active, repl),
+        overflow=jax.device_put(base.overflow, repl),
+        dropped_active=jax.device_put(base.dropped_active, repl),
+    )
+
+
+def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data",
+                           partition_state: bool = False):
     """Build a pjit-able one-step function: (state, frame shard) -> state.
 
-    Frames shard over `axis`; the TSDF state is replicated (small relative
-    to HBM) and updated identically on every device after the psums.
+    Frames shard over `axis`.  With partition_state=False the TSDF state is
+    replicated and merged with full psums.  With partition_state=True the
+    voxel tables (tsdf/weight) live SHARDED over the block axis and the
+    observation sums merge with psum_scatter (reduce_scatter): half the
+    collective bytes of the all-reduce and 1/n_dev of the per-device state
+    HBM — use create_state_partitioned() for the initial state.
     """
     G = cfg.grid_dim
     R = cfg.block_resolution
     cap = cfg.block_count
+    n_dev = int(mesh.devices.size)
+    rows = padded_rows(cfg, n_dev) if partition_state else cap + 1
+    rows_local = rows // n_dev
     voxel_offs = jnp.asarray(_voxel_offsets(R))
 
     def step_local(state: TSDFState, depth, intrinsics, T_wc, frame_valid):
@@ -177,37 +219,75 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data"):
             cnts = cnts.at[slots_safe].add(jnp.where(slot_ok[:, None], c, 0.0))
             return (sums, cnts)
 
-        sums0 = jnp.zeros((cap + 1, cfg.r3), jnp.float32)
-        cnts0 = jnp.zeros((cap + 1, cfg.r3), jnp.float32)
-        sums, cnts = jax.lax.fori_loop(0, n_tiles, tile_body, (sums0, cnts0))
+        sums0 = jnp.zeros((rows, cfg.r3), jnp.float32)
+        cnts0 = jnp.zeros((rows, cfg.r3), jnp.float32)
+        # Dynamic tile count (see ops/tsdf.py): only tiles with live slots
+        # run; the active list is front-compacted and identical on every
+        # device, so all devices agree on the trip count.
+        n_act_chunk = jnp.minimum(rank2[-1], M)
+        n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
+
+        def tile_cond(c):
+            return c[0] < n_tiles_dyn
+
+        def tile_step(c):
+            t, acc = c
+            return (t + 1, tile_body(t, acc))
+
+        _, (sums, cnts) = jax.lax.while_loop(
+            tile_cond, tile_step, (jnp.int32(0), (sums0, cnts0))
+        )
 
         # ---- exact cross-device merge ---------------------------------------
-        sums = jax.lax.psum(sums, axis)
-        cnts = jax.lax.psum(cnts, axis)
+        if partition_state:
+            # reduce_scatter: each device receives the reduced sums for its
+            # own block-row shard and updates only its local voxel rows.
+            sums = jax.lax.psum_scatter(sums, axis, scatter_dimension=0,
+                                        tiled=True)
+            cnts = jax.lax.psum_scatter(cnts, axis, scatter_dimension=0,
+                                        tiled=True)
+            row0 = jax.lax.axis_index(axis) * rows_local
+            global_row = row0 + jnp.arange(rows_local)
+            real = (global_row != cap)[:, None]
+        else:
+            sums = jax.lax.psum(sums, axis)
+            cnts = jax.lax.psum(cnts, axis)
+            real = None
 
         new_w = state.weight + cnts
         new_t = jnp.where(
             cnts > 0, (state.tsdf * state.weight + sums) / jnp.maximum(new_w, 1.0),
             state.tsdf,
         )
-        new_t = new_t.at[cap].set(0.0)
-        new_w = new_w.at[cap].set(0.0)
+        if partition_state:
+            new_t = jnp.where(real, new_t, 0.0)  # sentinel row stays zero
+            new_w = jnp.where(real, new_w, 0.0)
+        else:
+            new_t = new_t.at[cap].set(0.0)
+            new_w = new_w.at[cap].set(0.0)
         return TSDFState(
             slot_table, block_coords, new_t, new_w, n_active, overflow,
             dropped_active,
         )
 
+    if partition_state:
+        state_spec = TSDFState(
+            slot_table=P(), block_coords=P(), tsdf=P(axis), weight=P(axis),
+            n_active=P(), overflow=P(), dropped_active=P(),
+        )
+    else:
+        state_spec = P()
     sharded = jax.shard_map(
         step_local,
         mesh=mesh,
         in_specs=(
-            P(),  # state (replicated; prefix spec covers the pytree)
+            state_spec,
             P(axis),  # depth
             P(axis),  # intrinsics
             P(axis),  # extrinsics
             P(axis),  # frame_valid
         ),
-        out_specs=P(),
+        out_specs=state_spec,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -124,3 +124,145 @@ class TestShardedConfidence:
         np.testing.assert_allclose(
             np.asarray(shard_conf), np.asarray(single_conf), atol=1e-7
         )
+
+
+class TestBatchedPairICP:
+    """registration_icp_batch == per-pair registration_icp, single-chip and
+    sharded over the 8-device mesh (the multi-chip path for the O(F^2)
+    fragment-pair refinement)."""
+
+    def _make_pairs(self, n_pairs=6, seed=0):
+        import numpy as np
+
+        from mq3d_tpu.ops.icp import build_grid_nn
+
+        rng = np.random.default_rng(seed)
+        sources, grids, max_corrs, inits = [], [], [], []
+        targets = []
+        for i in range(n_pairs):
+            n = int(rng.integers(400, 900))
+            tgt = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+            # known small rigid offset
+            ang = rng.uniform(-0.05, 0.05)
+            c, s = np.cos(ang), np.sin(ang)
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            t = rng.uniform(-0.02, 0.02, 3)
+            src = (tgt - t) @ R  # inverse transform
+            sources.append(src.astype(np.float32))
+            targets.append(tgt)
+            grids.append(build_grid_nn(tgt, 0.1))
+            max_corrs.append(0.1)
+            inits.append(np.eye(4))
+        return sources, targets, grids, max_corrs, inits
+
+    def test_matches_per_pair(self):
+        import numpy as np
+
+        from mq3d_tpu.ops.icp import (
+            ICPConvergenceCriteria,
+            registration_icp,
+            registration_icp_batch,
+        )
+
+        sources, targets, grids, max_corrs, inits = self._make_pairs()
+        crit = [ICPConvergenceCriteria(20) for _ in sources]
+        batch = registration_icp_batch(sources, grids, max_corrs, inits,
+                                       crit)
+        for i, (src, tgt) in enumerate(zip(sources, targets)):
+            single = registration_icp(src, tgt, max_corrs[i],
+                                      init=inits[i], criteria=crit[i],
+                                      grid=grids[i])
+            np.testing.assert_allclose(
+                batch[i].transformation, single.transformation,
+                atol=1e-9)
+            assert batch[i].n_correspondences == single.n_correspondences
+            assert batch[i].fitness > 0.95
+
+    def test_sharded_matches(self, mesh8):
+        import numpy as np
+
+        from mq3d_tpu.ops.icp import (
+            ICPConvergenceCriteria,
+            registration_icp_batch,
+        )
+
+        sources, targets, grids, max_corrs, inits = self._make_pairs(
+            n_pairs=11)  # not a device multiple: exercises pair padding
+        crit = [ICPConvergenceCriteria(20) for _ in sources]
+        plain = registration_icp_batch(sources, grids, max_corrs, inits,
+                                       crit)
+        sharded = registration_icp_batch(sources, grids, max_corrs, inits,
+                                         crit, mesh=mesh8, axis="data")
+        for a, b in zip(plain, sharded):
+            np.testing.assert_allclose(a.transformation, b.transformation,
+                                       atol=1e-12)
+            assert a.n_correspondences == b.n_correspondences
+
+
+class TestPartitionedStateTSDF:
+    """partition_state=True (sharded voxel tables + psum_scatter merge)
+    matches the replicated-psum path bit-for-bit."""
+
+    def test_matches_replicated(self, mesh8):
+        import jax.numpy as jnp
+
+        from mq3d_tpu.parallel.sharded import (
+            create_state_partitioned,
+            sharded_integrate_step,
+        )
+
+        depth, K, T, valid = make_frames(16)
+        step_r = sharded_integrate_step(CFG, mesh8)
+        step_p = sharded_integrate_step(CFG, mesh8, partition_state=True)
+
+        from mq3d_tpu.ops.tsdf import create_state
+
+        s_r = create_state(CFG)
+        s_p = create_state_partitioned(CFG, mesh8)
+        for s in (0, 8):
+            args = (
+                jnp.asarray(depth[s:s + 8]), jnp.asarray(K[s:s + 8]),
+                jnp.asarray(T[s:s + 8]), jnp.asarray(valid[s:s + 8]),
+            )
+            s_r = step_r(s_r, *args)
+            s_p = step_p(s_p, *args)
+
+        cap1 = CFG.block_count + 1
+        assert int(s_p.n_active) == int(s_r.n_active)
+        np.testing.assert_array_equal(
+            np.asarray(s_p.slot_table), np.asarray(s_r.slot_table))
+        np.testing.assert_array_equal(
+            np.asarray(s_p.tsdf)[:cap1], np.asarray(s_r.tsdf))
+        np.testing.assert_array_equal(
+            np.asarray(s_p.weight)[:cap1], np.asarray(s_r.weight))
+        # pad rows beyond the sentinel stay zero
+        assert float(np.abs(np.asarray(s_p.tsdf)[cap1:]).max(initial=0)) == 0
+
+
+class TestShardedColorGN:
+    def test_matches_vmap(self, mesh8):
+        import jax.numpy as jnp
+
+        from mq3d_tpu.recon.color_opt import _gn_terms_batch, _sharded_gn
+
+        rng = np.random.default_rng(2)
+        n_verts, B, h, w = 500, 8, 24, 32
+        verts = jnp.asarray(rng.uniform(-1, 1, (n_verts, 3)), jnp.float32)
+        K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        K[:, 0, 0] = K[:, 1, 1] = 20.0
+        K[:, 0, 2], K[:, 1, 2] = w / 2, h / 2
+        T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        T[:, 2, 3] = np.linspace(2.0, 3.0, B)
+        gray = jnp.asarray(rng.random((B, h, w)), jnp.float32)
+        gx = jnp.asarray(rng.random((B, h, w)), jnp.float32)
+        gy = jnp.asarray(rng.random((B, h, w)), jnp.float32)
+        target = jnp.asarray(rng.random(n_verts), jnp.float32)
+        vis = jnp.asarray(rng.random((B, n_verts)) > 0.3)
+
+        a = _gn_terms_batch(verts, jnp.asarray(K), jnp.asarray(T), gray,
+                            gx, gy, target, vis)
+        b = _sharded_gn(mesh8)(verts, jnp.asarray(K), jnp.asarray(T), gray,
+                               gx, gy, target, vis)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-8)
