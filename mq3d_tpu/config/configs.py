@@ -134,6 +134,7 @@ class FragmentPoseRefinementConfig:
     chunk_active_capacity: int = 12_288
     integrate_tile: int = 512
     alloc_pixel_stride: int = 2
+    batch_pair_icp: bool = True  # wide/multi-chip pair-ICP launches
 
 
 @dataclass

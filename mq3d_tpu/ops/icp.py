@@ -441,3 +441,128 @@ def get_information_matrix(
     G[:, 2, 1] = -q[:, 0]
     G[:, 2, 5] = 1.0
     return np.einsum("nri,nrj->ij", G, G)
+
+
+# ---------------------------------------------------------------------------
+# Batched / multi-chip pair ICP
+# ---------------------------------------------------------------------------
+
+_icp_level_vmapped = jax.jit(
+    jax.vmap(
+        _icp_level_device,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+    ),
+    static_argnums=(11, 12),
+)
+
+
+def _stack_pairs(sources, grids, max_corrs, inits, criteria):
+    """Pad B heterogeneous (source, GridNN) pairs to common device shapes.
+
+    Per-pair pads are already pow2-bucketed, so the common max rarely
+    expands anything; table pads fill with -1 (empty slot, masked in
+    _nn_query) and target pads with +inf (masked by distance)."""
+    B = len(sources)
+    caps = {g.capacity for g in grids}
+    assert len(caps) == 1, f"mixed GridNN capacities {caps}"
+    capacity = caps.pop()
+
+    src_pads = [_pad_src(np.asarray(s, np.float32)) for s in sources]
+    n_pad = max(s.shape[0] for s, _ in src_pads)
+    m_pad = max(g.target.shape[0] for g in grids)
+    l_pad = max(g.table.shape[0] for g in grids)
+
+    src = np.full((B, n_pad, 3), np.inf, np.float32)
+    n_src = np.zeros((B,), np.int32)
+    target = np.full((B, m_pad, 3), np.inf, np.float32)
+    table = np.full((B, l_pad), -1, np.int32)
+    gmin = np.zeros((B, 3), np.float32)
+    dims = np.ones((B, 3), np.int32)
+    cell = np.ones((B,), np.float32)
+    for i, ((s, n), g) in enumerate(zip(src_pads, grids)):
+        src[i, : s.shape[0]] = s
+        n_src[i] = n
+        target[i, : g.target.shape[0]] = g.target
+        # keep each pair's own (n_cells, capacity) layout left-aligned;
+        # extra slots stay -1
+        table[i, : g.table.shape[0]] = g.table
+        gmin[i] = g.gmin
+        dims[i] = g.dims
+        cell[i] = g.cell
+
+    T0 = np.stack([np.eye(4) if t is None else np.asarray(t, np.float64)
+                   for t in inits])
+    rel_f = np.asarray([c.relative_fitness for c in criteria], np.float32)
+    rel_r = np.asarray([c.relative_rmse for c in criteria], np.float32)
+    return (src, n_src, target, table, gmin, dims, cell,
+            np.asarray(max_corrs, np.float32), T0, rel_f, rel_r, capacity)
+
+
+def registration_icp_batch(
+    sources,
+    grids,
+    max_corrs,
+    inits=None,
+    criteria=None,
+    mesh=None,
+    axis: str = "pairs",
+):
+    """Run B independent point-to-point ICPs in one launch (vmapped
+    while_loop — numerically identical to per-pair registration_icp).
+
+    With `mesh`, the pair axis shards over the device mesh via shard_map
+    (pairs pad to a device multiple; padded lanes carry n_src=0 and retire
+    on iteration one).  This is the multi-chip path for the O(F^2)
+    fragment-pair refinement (reference refine_fragment_poses.py:122-193,
+    which runs pairs serially on the host)."""
+    B = len(sources)
+    if B == 0:
+        return []
+    inits = inits if inits is not None else [None] * B
+    criteria = criteria if criteria is not None else [
+        ICPConvergenceCriteria() for _ in range(B)
+    ]
+    max_iter = max(int(c.max_iteration) for c in criteria)
+
+    packed = _stack_pairs(sources, grids, max_corrs, inits, criteria)
+    capacity = packed[-1]
+    arrays = [np.asarray(a) for a in packed[:-1]]
+
+    n_dev = 1 if mesh is None else int(np.prod([mesh.devices.size]))
+    B_pad = ((B + n_dev - 1) // n_dev) * n_dev
+    if B_pad != B:
+        arrays = [
+            np.concatenate([a, np.repeat(a[-1:], B_pad - B, axis=0)])
+            for a in arrays
+        ]
+        arrays[1] = arrays[1].copy()
+        arrays[1][B:] = 0  # n_src = 0 -> immediate retirement
+
+    if mesh is None:
+        out = _icp_level_vmapped(*map(jnp.asarray, arrays), capacity,
+                                 max_iter)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        def run(*a):
+            return jax.vmap(
+                _icp_level_device, in_axes=(0,) * 11 + (None, None)
+            )(*a, capacity, max_iter)
+
+        sharded = jax.jit(
+            jax.shard_map(
+                run,
+                mesh=mesh,
+                in_specs=tuple(P(axis) for _ in arrays),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+        )
+        out = sharded(*map(jnp.asarray, arrays))
+
+    T, fitness, rmse, n_in = (np.asarray(o) for o in out)
+    return [
+        RegistrationResult(T[i], float(fitness[i]), float(rmse[i]),
+                           int(n_in[i]))
+        for i in range(B)
+    ]

@@ -137,10 +137,43 @@ def _sample_rgb(verts, K, T_wc, rgb, visible):
     return jnp.where(ok[:, None], val, 0.0), ok
 
 
+# Batched (frame-axis) variants: one launch per chunk of keyframes instead
+# of one launch per frame.  With a device mesh the chunk axis shards over
+# it (shard_map); results come back per-frame either way, so the host-side
+# per-frame pose solves are unchanged.
+
+_gn_terms_batch = jax.jit(
+    jax.vmap(_gn_terms, in_axes=(None, 0, 0, 0, 0, 0, None, 0))
+)
+_sample_intensity_batch = jax.jit(
+    jax.vmap(_sample_intensity, in_axes=(None, 0, 0, 0, 0))
+)
+_sample_rgb_batch = jax.jit(
+    jax.vmap(_sample_rgb, in_axes=(None, 0, 0, 0, 0))
+)
+
+
+def _sharded_gn(mesh, axis="data"):
+    from jax.sharding import PartitionSpec as P
+
+    def run(verts, K, T, gray, gx, gy, target_c, vis):
+        return jax.vmap(_gn_terms, in_axes=(None, 0, 0, 0, 0, 0, None, 0))(
+            verts, K, T, gray, gx, gy, target_c, vis)
+
+    return jax.jit(jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+                  P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    ))
+
+
 def optimize_color_pose(
     vbg: TSDFVolume,
     data_io: DataIO,
     config: ColorOptimizationConfig,
+    mesh_devices=None,
 ) -> Tuple[TriangleMesh, Dict[Side, CameraDataset]]:
     """Mirror of the reference's optimize_color_pose surface: returns the
     colored, component-filtered mesh and the pose-refined keyframe color
@@ -195,35 +228,88 @@ def optimize_color_pose(
         f["vis"] = _visibility(verts, f["K"], jnp.asarray(f["T"], jnp.float32), f["depth"])
 
     # --- alternating optimization --------------------------------------------
+    # Frames batch on a chunked frame axis: one launch per chunk per GN
+    # pass instead of one per frame; the chunk axis shards over a device
+    # mesh when one is passed.  Chunks group by frame resolution so the
+    # stacked image tensors stay rectangular.
+    chunk_size = max(int(getattr(config, "gn_frames_per_launch", 32)), 1)
+    by_shape: Dict[tuple, list] = {}
+    for fi, f in enumerate(frames):
+        by_shape.setdefault(tuple(f["gray"].shape), []).append(fi)
+    chunks = []
+    n_dev = 1 if mesh_devices is None else int(mesh_devices.devices.size)
+    for ids in by_shape.values():
+        for s0 in range(0, len(ids), chunk_size):
+            chunks.append(ids[s0:s0 + chunk_size])
+
+    def stack(ids, key, dtype=jnp.float32):
+        return jnp.stack([jnp.asarray(frames[i][key], dtype) for i in ids])
+
+    static = {  # per-chunk stacks that never change across iterations
+        tuple(ids): {
+            "K": stack(ids, "K"),
+            "gray": stack(ids, "gray"),
+            "gx": stack(ids, "gx"),
+            "gy": stack(ids, "gy"),
+            "vis": jnp.stack([frames[i]["vis"] for i in ids]),
+        }
+        for ids in map(tuple, chunks)
+    }
+    gn = (_gn_terms_batch if mesh_devices is None
+          else _sharded_gn(mesh_devices))
+
+    def pad_ids(ids):
+        """Pad a chunk to the device multiple (repeat last frame; padded
+        lanes are discarded on the host side)."""
+        if n_dev == 1 or len(ids) % n_dev == 0:
+            return list(ids), len(ids)
+        pad = n_dev - len(ids) % n_dev
+        return list(ids) + [ids[-1]] * pad, len(ids)
+
     def vertex_targets():
         acc = jnp.zeros(verts.shape[0], jnp.float32)
         cnt = jnp.zeros(verts.shape[0], jnp.float32)
-        for f in frames:
-            val, ok = _sample_intensity(
-                verts, f["K"], jnp.asarray(f["T"], jnp.float32), f["gray"], f["vis"]
+        for ids in chunks:
+            st = static[tuple(ids)]
+            val, ok = _sample_intensity_batch(
+                verts, st["K"], stack(ids, "T"), st["gray"], st["vis"]
             )
-            acc = acc + val
-            cnt = cnt + ok.astype(jnp.float32)
+            acc = acc + val.sum(0)
+            cnt = cnt + ok.sum(0).astype(jnp.float32)
         return acc / jnp.maximum(cnt, 1.0), cnt
 
     prev_res = np.inf
     for it in range(max(config.max_iteration, 1)):
         target_c, cnt = vertex_targets()
         total_res = 0.0
-        for f in frames:
-            H, b, res, n_ok = _gn_terms(
-                verts, f["K"], jnp.asarray(f["T"], jnp.float32),
-                f["gray"], f["gx"], f["gy"], target_c, f["vis"],
-            )
-            H, b, res, n_ok = fetch((H, b, res, n_ok))
-            if int(n_ok) < 100:
-                continue
-            try:
-                dx = np.linalg.solve(H + 1e-6 * np.eye(6) * max(np.trace(H) / 6, 1e-12), -b)
-            except np.linalg.LinAlgError:
-                continue
-            f["T"] = np.asarray(se3.se3_exp(dx)) @ f["T"]
-            total_res += float(res)
+        for ids in chunks:
+            st = static[tuple(ids)]
+            ids_p, n_real = pad_ids(ids)
+            if n_real == len(ids_p):
+                K_c, T_c = st["K"], stack(ids, "T")
+                gray_c, gx_c, gy_c, vis_c = (st["gray"], st["gx"],
+                                             st["gy"], st["vis"])
+            else:
+                K_c = stack(ids_p, "K")
+                T_c = stack(ids_p, "T")
+                gray_c = stack(ids_p, "gray")
+                gx_c = stack(ids_p, "gx")
+                gy_c = stack(ids_p, "gy")
+                vis_c = jnp.stack([frames[i]["vis"] for i in ids_p])
+            Hs, bs, ress, n_oks = fetch(gn(
+                verts, K_c, T_c, gray_c, gx_c, gy_c, target_c, vis_c))
+            for j, fi in enumerate(ids_p[:n_real]):
+                H, b, res, n_ok = Hs[j], bs[j], ress[j], n_oks[j]
+                if int(n_ok) < 100:
+                    continue
+                try:
+                    dx = np.linalg.solve(
+                        H + 1e-6 * np.eye(6) * max(np.trace(H) / 6, 1e-12),
+                        -b)
+                except np.linalg.LinAlgError:
+                    continue
+                frames[fi]["T"] = np.asarray(se3.se3_exp(dx)) @ frames[fi]["T"]
+                total_res += float(res)
         if it % 10 == 0:
             print(f"[ColorOpt] iter {it}: residual {total_res:.4f}")
         if it >= 10 and abs(prev_res - total_res) < 1e-4 * max(total_res, 1e-12):
@@ -234,12 +320,14 @@ def optimize_color_pose(
     # --- bake vertex colors ----------------------------------------------------
     acc = jnp.zeros((verts.shape[0], 3), jnp.float32)
     cnt = jnp.zeros(verts.shape[0], jnp.float32)
-    for f in frames:
-        val, ok = _sample_rgb(
-            verts, f["K"], jnp.asarray(f["T"], jnp.float32), f["rgb"], f["vis"]
+    for ids in chunks:
+        st = static[tuple(ids)]
+        val, ok = _sample_rgb_batch(
+            verts, st["K"], stack(ids, "T"),
+            jnp.stack([frames[i]["rgb"] for i in ids]), st["vis"]
         )
-        acc = acc + val
-        cnt = cnt + ok.astype(jnp.float32)
+        acc = acc + val.sum(0)
+        cnt = cnt + ok.sum(0).astype(jnp.float32)
     colors = np.asarray(acc) / np.maximum(np.asarray(cnt), 1.0)[:, None]
     mesh.vertex_colors = colors
 

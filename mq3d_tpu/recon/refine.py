@@ -242,10 +242,138 @@ def compute_pcd_pair_edge(
     )
 
 
+
+
+def compute_pcd_pair_edges_batched(
+    cache: "_FragmentCache",
+    node_side_index_list: List[Tuple[Side, int]],
+    pairs: List[Tuple[int, int, bool]],
+    config: FragmentPoseRefinementConfig,
+    mesh=None,
+    pairs_per_launch: int = 32,
+) -> List[PoseGraphEdge]:
+    """All pose-graph edges with the pair axis batched into wide launches
+    (and optionally sharded over a device mesh) instead of one launch per
+    pair-level-iteration.  Numerically identical to compute_pcd_pair_edge:
+    the batch path vmaps the same single-launch ICP while_loop.
+
+    Reference runs the O(F^2) pairs serially on the host
+    (refine_fragment_poses.py:122-193); this is the TPU-native wide/
+    multi-chip formulation.
+    """
+    from mq3d_tpu.ops.icp import build_grid_nn, registration_icp_batch
+
+    criteria = [
+        ICPConvergenceCriteria(mi, rf, rr)
+        for mi, rf, rr in zip(
+            config.max_iterations, config.relative_fitnesses,
+            config.relative_rmses)
+    ]
+    n_levels = len(criteria)
+
+    def chunks(seq, k):
+        for i in range(0, len(seq), k):
+            yield seq[i:i + k]
+
+    # ---- pre-filter pass (uncertain pairs): one wide evaluate launch ----
+    # max_iteration=0 turns the batched ICP into pure correspondence
+    # evaluation at the init transform (same stats as
+    # evaluate_registration).
+    survivors: List[Tuple[int, int, bool]] = []
+    uncertain = [pq for pq in pairs if pq[2]]
+    certain = [pq for pq in pairs if not pq[2]]
+    if config.use_pre_filtering and uncertain:
+        ds_cache: dict = {}
+        grid_cache: dict = {}
+
+        def ds(key):
+            if key not in ds_cache:
+                ds_cache[key] = uniform_down_sample(
+                    cache.get_points(key), config.pre_filter_every_k_points)
+            return ds_cache[key]
+
+        def ds_grid(key):
+            if key not in grid_cache:
+                grid_cache[key] = build_grid_nn(
+                    ds(key), config.pre_filter_max_corr_dist)
+            return grid_cache[key]
+
+        kept = []
+        for chunk in chunks(uncertain, pairs_per_launch):
+            res = registration_icp_batch(
+                [ds(node_side_index_list[s]) for s, _, _ in chunk],
+                [ds_grid(node_side_index_list[t]) for _, t, _ in chunk],
+                [config.pre_filter_max_corr_dist] * len(chunk),
+                criteria=[ICPConvergenceCriteria(0)] * len(chunk),
+                mesh=mesh,
+            )
+            for pq, r in zip(chunk, res):
+                if (r.fitness >= config.pre_filter_fitness_threshold
+                        and r.inlier_rmse
+                        <= config.pre_filter_inlier_rmse_threshold):
+                    kept.append(pq)
+        print(f"[Info] Pre-filter kept {len(kept)} / {len(uncertain)} "
+              "uncertain pairs")
+        survivors = certain + kept
+    else:
+        survivors = list(pairs)
+    if not survivors:
+        return []
+
+    # ---- multiscale ICP: level-by-level over the whole surviving batch ----
+    T = {i: np.eye(4) for i in range(len(survivors))}
+    last = {}
+    for level in range(n_levels):
+        max_corr = config.max_corr_dists[level]
+        for base, chunk in zip(
+            range(0, len(survivors), pairs_per_launch),
+            chunks(list(enumerate(survivors)), pairs_per_launch),
+        ):
+            idxs = [i for i, _ in chunk]
+            res = registration_icp_batch(
+                [cache.get_pyramid(node_side_index_list[s])[level]
+                 for _, (s, _, _) in chunk],
+                [cache.get_grid(node_side_index_list[t], level)
+                 for _, (_, t, _) in chunk],
+                [max_corr] * len(chunk),
+                inits=[T[i] for i in idxs],
+                criteria=[criteria[level]] * len(chunk),
+                mesh=mesh,
+            )
+            for i, r in zip(idxs, res):
+                T[i] = r.transformation
+                last[i] = r
+
+    # ---- convergence gate + information matrices ------------------------
+    edges: List[PoseGraphEdge] = []
+    for i, (s, t, unc) in enumerate(survivors):
+        icp = last[i]
+        converged = (
+            icp.fitness >= config.icp_fitness_threshold
+            or icp.inlier_rmse <= config.icp_inlier_rmse_threshold
+        )
+        if unc and not converged:
+            continue
+        s_key = node_side_index_list[s]
+        t_key = node_side_index_list[t]
+        info = get_information_matrix(
+            cache.get_points(s_key), cache.get_points(t_key),
+            config.max_corr_dists[-1], icp.transformation,
+            grid=cache.get_full_grid(t_key),
+        )
+        edges.append(PoseGraphEdge(
+            source_node_id=s, target_node_id=t,
+            transformation=icp.transformation, information=info,
+            uncertain=unc,
+        ))
+    return edges
+
+
 def build_pose_graph_for_scene(
     recon_data_io: ReconstructionDataIO,
     fragment_counts: Dict[Side, int],
     config: FragmentPoseRefinementConfig,
+    mesh=None,
 ) -> Tuple[PoseGraph, List[Tuple[Side, int]]]:
     """(reference refine_fragment_poses.py:196-271)."""
     pose_graph = PoseGraph()
@@ -270,11 +398,15 @@ def build_pose_graph_for_scene(
     pairs += [(i, j, True) for i, j in itertools.combinations(range(n), 2)]
 
     cache = _FragmentCache(recon_data_io, config)
-    edges = []
-    for s, t, unc in tqdm(pairs, desc="[Info] Computing pose-graph edges"):
-        e = compute_pcd_pair_edge(cache, node_side_index_list, s, t, config, unc)
-        if e is not None:
-            edges.append(e)
+    if getattr(config, "batch_pair_icp", True):
+        edges = compute_pcd_pair_edges_batched(
+            cache, node_side_index_list, pairs, config, mesh=mesh)
+    else:
+        edges = []
+        for s, t, unc in tqdm(pairs, desc="[Info] Computing pose-graph edges"):
+            e = compute_pcd_pair_edge(cache, node_side_index_list, s, t, config, unc)
+            if e is not None:
+                edges.append(e)
     print(f"[Info] Valid edges: {len(edges)} / {len(pairs)}")
     pose_graph.edges.extend(edges)
     return pose_graph, node_side_index_list

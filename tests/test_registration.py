@@ -202,3 +202,61 @@ class TestPoseGraph:
         assert len(pg.edges) < n_edges_before  # bad loop pruned
         # Good loop retained.
         assert any(e.uncertain for e in pg.edges)
+
+
+class TestBatchedPoseGraphEdges:
+    """compute_pcd_pair_edges_batched produces the same edge set and
+    transforms as the serial per-pair path."""
+
+    def test_equivalence(self, tmp_path, rng):
+        from mq3d_tpu.config.configs import FragmentPoseRefinementConfig
+        from mq3d_tpu.models.side import Side
+        from mq3d_tpu.recon.refine import (
+            _FragmentCache,
+            compute_pcd_pair_edge,
+            compute_pcd_pair_edges_batched,
+        )
+
+        # Stub IO: fragments are overlapping slabs of a noisy room shell.
+        base = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+        frags = []
+        for i in range(3):
+            shift = np.array([0.02 * i, -0.01 * i, 0.005 * i])
+            frags.append(base[i * 1000:(i + 2) * 1000] + shift)
+
+        class _IO:
+            def load_fragment_pcd(self, side, index):
+                class _P:
+                    points = frags[index]
+                return _P()
+
+        cfg = FragmentPoseRefinementConfig(
+            use_pre_filtering=True,
+            pre_filter_every_k_points=5,
+            icp_voxel_sizes=[0.05, 0.025],
+            max_corr_dists=[0.1, 0.05],
+            max_iterations=[20, 10],
+            relative_fitnesses=[1e-6, 1e-6],
+            relative_rmses=[1e-6, 1e-6],
+        )
+        nodes = [(Side.LEFT, 0), (Side.LEFT, 1), (Side.LEFT, 2)]
+        pairs = [(0, 1, False), (1, 2, False), (0, 2, True)]
+
+        cache_a = _FragmentCache(_IO(), cfg)
+        serial = []
+        for s, t, unc in pairs:
+            e = compute_pcd_pair_edge(cache_a, nodes, s, t, cfg, unc)
+            if e is not None:
+                serial.append(e)
+
+        cache_b = _FragmentCache(_IO(), cfg)
+        batched = compute_pcd_pair_edges_batched(cache_b, nodes, pairs, cfg)
+
+        assert len(serial) == len(batched)
+        for a, b in zip(serial, batched):
+            assert (a.source_node_id, a.target_node_id) == (
+                b.source_node_id, b.target_node_id)
+            np.testing.assert_allclose(a.transformation, b.transformation,
+                                       atol=1e-9)
+            np.testing.assert_allclose(a.information, b.information,
+                                       rtol=1e-6)
