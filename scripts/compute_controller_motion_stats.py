@@ -17,7 +17,11 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from mq3d_tpu.eval.motion_stats import compute_motion_stats
+from mq3d_tpu.eval.motion_stats import (
+    compute_motion_stats,
+    controller_summary_row,
+    inter_hand_stats,
+)
 
 
 def load_hand(session: Path, hand: str):
@@ -43,10 +47,21 @@ def load_hand(session: Path, hand: str):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("sessions", type=Path, nargs="+")
+    parser.add_argument("--summary-csv", type=Path, default=None,
+                        help="write controller_all_summary.csv (per-hand "
+                             "rows + one inter-hand row per session, the "
+                             "analysis scripts' input schema)")
+    parser.add_argument("--participant", action="append", default=[],
+                        help="participant name per session (same order)")
     args = parser.parse_args()
 
     out = {}
-    for session in args.sessions:
+    summary_rows = []
+    for si, session in enumerate(args.sessions):
+        participant = (args.participant[si]
+                       if si < len(args.participant) else None)
+        condition = ("Fog" if "/Fog/" in str(session)
+                     else "NoFog" if "/NoFog/" in str(session) else None)
         entry = {}
         hands = {}
         for hand in ("left", "right"):
@@ -54,22 +69,40 @@ def main():
             if data is None:
                 continue
             t, pos, rot = data
-            entry[hand] = dataclasses.asdict(compute_motion_stats(t, pos, rot))
+            stats = compute_motion_stats(t, pos, rot)
+            entry[hand] = dataclasses.asdict(stats)
             hands[hand] = (t, pos)
-        # Inter-hand coordination: correlation of speeds on the common range.
+            summary_rows.append(controller_summary_row(
+                stats, session.name, str(session), hand,
+                participant=participant, condition=condition))
+        # Inter-hand coordination (reference :356-470).
         if len(hands) == 2:
             (tl, pl), (tr, pr) = hands["left"], hands["right"]
-            n = min(len(tl), len(tr))
-            if n > 2:
-                sl = np.linalg.norm(np.diff(pl[:n], axis=0), axis=-1)
-                sr = np.linalg.norm(np.diff(pr[:n], axis=0), axis=-1)
-                if sl.std() > 0 and sr.std() > 0:
-                    entry["coordination_speed_corr"] = float(
-                        np.corrcoef(sl, sr)[0, 1]
-                    )
+            inter = inter_hand_stats(tl, pl, tr, pr)
+            entry["inter_hand"] = inter
+            summary_rows.append({
+                "capture_name": session.name, "capture_path": str(session),
+                "participant": participant, "condition": condition,
+                "hand": None, **inter,
+            })
         if entry:
             out[str(session)] = entry
     print(json.dumps(out, indent=2))
+
+    if args.summary_csv is not None and summary_rows:
+        import csv as _csv
+
+        fieldnames = []
+        for r in summary_rows:
+            for k in r:
+                if k not in fieldnames:
+                    fieldnames.append(k)
+        args.summary_csv.parent.mkdir(parents=True, exist_ok=True)
+        with args.summary_csv.open("w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=fieldnames)
+            w.writeheader()
+            w.writerows(summary_rows)
+        print(f"[Info] Summary CSV written to {args.summary_csv}")
 
 
 if __name__ == "__main__":

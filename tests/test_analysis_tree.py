@@ -383,3 +383,118 @@ class TestSurveyDemographics:
             assert (out / name).exists(), name
         tex = (out / "demographics_table.tex").read_text()
         assert r"\begin{table}" in tex and r"\toprule" in tex
+
+
+class TestComputeToAnalyzeLoop:
+    """compute_*_motion_stats --summary-csv emits the exact schema the
+    analyze_* scripts consume (reference: compute_hmd_motion_stats.py
+    summary -> analyze_hmd_motion_stats.py)."""
+
+    def _write_session(self, root, name, seed, fog):
+        rng = np.random.default_rng(seed)
+        d = root / ("Fog" if fog else "NoFog") / name
+        d.mkdir(parents=True)
+        n = 200
+        t = np.arange(n) * 11.1 + 1.7e12  # ms
+        ang = np.linspace(0, 3 * np.pi if fog else 2 * np.pi, n)
+        pos = np.stack([np.cos(ang), np.full(n, 1.6), np.sin(ang)], -1)
+        pos += rng.normal(0, 0.002, (n, 3))
+        quat = np.stack([np.zeros(n), np.sin(ang / 2), np.zeros(n),
+                         np.cos(ang / 2)], -1)
+        for stem, cols in (("hmd_poses", None), ("controller_poses", "hand")):
+            rows = []
+            for i in range(n):
+                base = dict(unix_time=t[i],
+                            pos_x=pos[i, 0], pos_y=pos[i, 1],
+                            pos_z=pos[i, 2],
+                            rot_x=quat[i, 0], rot_y=quat[i, 1],
+                            rot_z=quat[i, 2], rot_w=quat[i, 3])
+                if cols == "hand":
+                    for hand, off in (("left", -0.3), ("right", 0.3)):
+                        r = dict(base)
+                        r["hand"] = hand
+                        r["pos_x"] += off
+                        rows.append(r)
+                else:
+                    rows.append(base)
+            pd.DataFrame(rows).to_csv(d / f"{stem}.csv", index=False)
+        return d
+
+    def test_hmd_loop(self, tmp_path):
+        import runpy
+        import sys
+
+        sessions = []
+        participants = []
+        for i in range(3):
+            for fog in (True, False):
+                sessions.append(self._write_session(
+                    tmp_path, f"s{i}", seed=10 * i + fog, fog=fog))
+                participants.append(f"P{i}")
+        summary = tmp_path / "hmd_all_summary.csv"
+        argv = (["compute_hmd_motion_stats.py"]
+                + [str(s) for s in sessions]
+                + ["--summary-csv", str(summary)])
+        for p_name in participants:
+            argv += ["--participant", p_name]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            runpy.run_path("scripts/compute_hmd_motion_stats.py",
+                           run_name="__main__")
+        finally:
+            sys.argv = old
+        df = pd.read_csv(summary)
+        assert len(df) == 6
+        for col in ("body_distance_m", "head_cumulative_radians",
+                    "viewing_sphere_coverage_with_fov_percent",
+                    "cumulative_horizontal_rotation_rad", "condition",
+                    "participant"):
+            assert col in df.columns
+        assert set(df["condition"]) == {"Fog", "NoFog"}
+
+        from scripts.analyze_hmd_motion_stats import main as analyze
+
+        out = tmp_path / "report"
+        analyze(["--input_csv", str(summary), "--output_dir", str(out)])
+        assert (out / "statistical_results.csv").exists()
+        res = pd.read_csv(out / "statistical_results.csv")
+        assert len(res) >= 10  # all schema metrics were present
+
+    def test_controller_loop(self, tmp_path):
+        import runpy
+        import sys
+
+        sessions = []
+        for i in range(2):
+            for fog in (True, False):
+                sessions.append(self._write_session(
+                    tmp_path, f"c{i}", seed=100 + 10 * i + fog, fog=fog))
+        summary = tmp_path / "controller_all_summary.csv"
+        argv = (["compute_controller_motion_stats.py"]
+                + [str(s) for s in sessions]
+                + ["--summary-csv", str(summary),
+                   "--participant", "P0", "--participant", "P0",
+                   "--participant", "P1", "--participant", "P1"])
+        old = sys.argv
+        sys.argv = argv
+        try:
+            runpy.run_path("scripts/compute_controller_motion_stats.py",
+                           run_name="__main__")
+        finally:
+            sys.argv = old
+        df = pd.read_csv(summary)
+        # 2 hand rows + 1 inter-hand row per session
+        assert len(df) == 12
+        hand_rows = df[df["hand"].notna()]
+        inter_rows = df[df["hand"].isna()]
+        assert len(hand_rows) == 8 and len(inter_rows) == 4
+        assert (inter_rows["avg_inter_hand_distance_m"] > 0.3).all()
+        assert (inter_rows["synchronization_score"] > 0).all()
+
+        from scripts.analyze_controller_motion_stats import main as analyze
+
+        out = tmp_path / "ctl_report"
+        analyze(["--input_csv", str(summary), "--output_dir", str(out)])
+        assert (out / "statistical_results_hand.csv").exists()
+        assert (out / "statistical_results_interhand.csv").exists()
