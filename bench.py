@@ -1,13 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: TSDF integration throughput (frames/sec/chip) on real hardware.
+"""Benchmark: flagship kernels + end-to-end pipeline on real hardware.
 
-Runs the flagship kernel — chunk-fused TSDF integration at the reference's
-production configuration (voxel 1 cm, block 16^3, 50k blocks, depth_max 4 m,
-Quest-depth-sized 320x288 frames) — over a synthetic 1000-frame capture and
-prints ONE JSON line:
+Primary metric: chunk-fused TSDF integration throughput (frames/sec/chip)
+at the reference's production configuration (voxel 1 cm, block 16^3, 50k
+blocks, depth_max 4 m, Quest-depth-sized 320x288 frames) over a synthetic
+1000-frame capture.  The JSON line's `extra` dict carries two more tracked
+metrics on the same volume/process:
 
-  {"metric": "tsdf_frames_per_sec", "value": N, "unit": "frames/s",
-   "vs_baseline": N}
+  raycast_ms_per_frame    full-frame 1280x960 color-aligned depth render
+                          (reference: Embree CPU ~200 ms/frame,
+                          o3d_utils.py:324-341)
+  e2e_pipeline_seconds    run_full_pipeline on a 16-frame synthetic
+                          capture (fast config, compile-included)
 
 vs_baseline compares against the reference pipeline's CPU Open3D
 VoxelBlockGrid.integrate path.  The reference publishes no numbers
@@ -19,18 +23,20 @@ this host (579 ms/frame, same workload); Open3D's C++ kernels are assumed
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-# Reference CPU baseline (frames/sec) for the same workload; see module
-# docstring. Measured/estimated for Open3D 0.19 CPU VoxelBlockGrid.
-BASELINE_FRAMES_PER_SEC = 12.0
+BASELINE_FRAMES_PER_SEC = 12.0  # est. Open3D CPU integrate (module docstring)
+BASELINE_RAYCAST_MS = 200.0  # Embree CPU ~0.2 s/frame at 1280x960
 
 N_FRAMES = 1000
 H, W = 288, 320
+H_C, W_C = 960, 1280
 CHUNK = 20
+RAYCAST_BATCH = 8
 
 
 def make_capture():
@@ -51,8 +57,6 @@ def make_capture():
     gt = orbit_poses_o3d(cfg)
     poses_cw = gt.extrinsics_cw.astype(np.float64)
 
-    # Render a subset of unique frames and tile (rendering is not the thing
-    # being benchmarked; integration cost is identical).
     uniq = 50
     depths = np.empty((uniq, H, W), np.float32)
     for i in range(uniq):
@@ -71,17 +75,108 @@ def make_capture():
     order = (np.arange(N_FRAMES) % uniq) * (N_FRAMES // uniq)
     T_wc = np.linalg.inv(poses_cw[order]).astype(np.float32)
     valid = np.ones(N_FRAMES, bool)
-    return depth, K, T_wc, valid
+    return depth, K, T_wc, valid, gt, cfg
 
 
-def main():
+def bench_integrate(cfg_t, depth, K, T_wc, valid):
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
-    from mq3d_tpu.ops.tsdf import TSDFConfig, create_state, integrate_chunk
+    from mq3d_tpu.ops.tsdf import create_state, integrate_chunk
 
-    cfg = TSDFConfig(
+    state = create_state(cfg_t)
+    state = integrate_chunk(
+        cfg_t, state,
+        jnp.asarray(depth[:CHUNK]), jnp.asarray(K[:CHUNK]),
+        jnp.asarray(T_wc[:CHUNK]), jnp.asarray(valid[:CHUNK]),
+    )
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for s in range(CHUNK, N_FRAMES, CHUNK):
+        state = integrate_chunk(
+            cfg_t, state,
+            jnp.asarray(depth[s:s + CHUNK]), jnp.asarray(K[s:s + CHUNK]),
+            jnp.asarray(T_wc[s:s + CHUNK]), jnp.asarray(valid[s:s + CHUNK]),
+        )
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+    return (N_FRAMES - CHUNK) / elapsed, state
+
+
+def bench_raycast(cfg_t, state, gt, scene_cfg):
+    """Batch z-depth render at the color-camera resolution on the volume
+    just integrated; returns ms/frame."""
+    from mq3d_tpu.ops.raycast import raycast_depth_batch
+    from mq3d_tpu.ops.tsdf import TSDFVolume
+    from mq3d_tpu.testing.synthetic import intrinsics_from_cfg
+
+    vol = TSDFVolume(cfg_t, state)
+    fx, fy, cx, cy = intrinsics_from_cfg(scene_cfg, W_C, H_C)
+    K = np.tile(np.eye(3, dtype=np.float32), (RAYCAST_BATCH, 1, 1))
+    K[:, 0, 0], K[:, 1, 1] = fx, fy
+    K[:, 0, 2], K[:, 1, 2] = W_C - cx, cy
+    T_wc = np.linalg.inv(
+        gt.extrinsics_cw[:RAYCAST_BATCH].astype(np.float64))
+
+    # Warmup (compile + scene prep).
+    d = raycast_depth_batch(vol, K, T_wc, W_C, H_C)
+    assert np.isfinite(d).mean() > 0.5, "raycast: mostly misses"
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        raycast_depth_batch(vol, K, T_wc, W_C, H_C)
+        times.append((time.perf_counter() - t0) / RAYCAST_BATCH)
+    return float(np.median(times) * 1e3)
+
+
+def bench_e2e(tmp="/tmp/bench_e2e"):
+    """run_full_pipeline on a small synthetic capture, in-process
+    (one-TPU-one-process rule), compile-included."""
+    import shutil
+    from pathlib import Path
+
+    import yaml
+
+    from mq3d_tpu.testing.synthetic import (
+        SyntheticSceneConfig,
+        write_synthetic_project,
+    )
+
+    proj = Path(tmp)
+    shutil.rmtree(proj, ignore_errors=True)
+    write_synthetic_project(proj, SyntheticSceneConfig(n_frames=16))
+    cfg = yaml.safe_load(Path("config/pipeline_config_batch.yml").read_text())
+    rec = cfg["reconstruction"]
+    rec["voxel_size"] = 0.05
+    rec["block_count"] = 4096
+    for k in ("fragment_pose_refinement", "depth_integration"):
+        rec[k]["use_confidence_filtered_depth"] = False
+    for k in ("estimate_depth_confidences", "optimize_depth_pose",
+              "optimize_color_pose", "render_color_aligned_depth"):
+        rec[k] = False
+    cfg_path = proj / "bench_cfg.yml"
+    cfg_path.write_text(yaml.dump(cfg))
+
+    import scripts.run_full_pipeline as rfp
+
+    t0 = time.perf_counter()
+    rfp.main(["--session_dir", str(proj), "--config", str(cfg_path)])
+    return time.perf_counter() - t0
+
+
+def main():
+    sys.path.insert(0, ".")
+    import jax
+
+    # Persistent compile cache is enabled by mq3d_tpu.__init__
+    # (~/.cache/jax); compiled executables from previous bench runs and
+    # pipeline runs reload in seconds.
+
+    from mq3d_tpu.ops.tsdf import TSDFConfig
+
+    cfg_t = TSDFConfig(
         voxel_size=0.01,
         block_resolution=16,
         block_count=50_000,
@@ -93,39 +188,28 @@ def main():
         integrate_tile=512,
     )
 
-    depth, K, T_wc, valid = make_capture()
-    state = create_state(cfg)
+    depth, K, T_wc, valid, gt, scene_cfg = make_capture()
+    print("[bench] capture ready", file=sys.stderr, flush=True)
+    fps, state = bench_integrate(cfg_t, depth, K, T_wc, valid)
+    print(f"[bench] integrate {fps:.0f} f/s", file=sys.stderr, flush=True)
+    raycast_ms = bench_raycast(cfg_t, state, gt, scene_cfg)
+    print(f"[bench] raycast {raycast_ms:.0f} ms/frame", file=sys.stderr,
+          flush=True)
+    e2e_s = bench_e2e()
+    print(f"[bench] e2e {e2e_s:.0f} s", file=sys.stderr, flush=True)
 
-    # Warmup/compile on the first chunk.
-    state = integrate_chunk(
-        cfg, state,
-        jnp.asarray(depth[:CHUNK]), jnp.asarray(K[:CHUNK]),
-        jnp.asarray(T_wc[:CHUNK]), jnp.asarray(valid[:CHUNK]),
-    )
-    jax.block_until_ready(state)
-
-    t0 = time.perf_counter()
-    for s in range(CHUNK, N_FRAMES, CHUNK):
-        state = integrate_chunk(
-            cfg, state,
-            jnp.asarray(depth[s : s + CHUNK]), jnp.asarray(K[s : s + CHUNK]),
-            jnp.asarray(T_wc[s : s + CHUNK]), jnp.asarray(valid[s : s + CHUNK]),
-        )
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
-
-    frames = N_FRAMES - CHUNK
-    fps = frames / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "tsdf_frames_per_sec",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 2),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "tsdf_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 2),
+        "extra": {
+            "raycast_ms_per_frame": round(raycast_ms, 1),
+            "raycast_vs_embree_cpu": round(BASELINE_RAYCAST_MS / raycast_ms,
+                                           2),
+            "e2e_pipeline_seconds": round(e2e_s, 1),
+        },
+    }))
 
 
 if __name__ == "__main__":

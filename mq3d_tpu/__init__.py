@@ -19,7 +19,27 @@ Layering (mirrors reference SURVEY.md layer map, re-architected TPU-first):
   eval/      chamfer/F-score/quality-Q metrics, motion stats
 """
 
+import os as _os
+
 import jax as _jax
+
+# Escape hatch for test subprocesses: the axon TPU is exclusive to one
+# process, so CLI-driving tests set MQ3D_FORCE_CPU=1 (the JAX_PLATFORMS env
+# var alone is overridden by the preinstalled TPU plugin; the config API
+# route below runs before backend init because scripts import mq3d_tpu
+# first).
+if _os.environ.get("MQ3D_FORCE_CPU"):
+    _jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: first compiles of the large fused programs
+# (TSDF integrate, batched raycast) cost minutes on this host; cached
+# executables load in seconds on every later run.  Verified effective on
+# the axon TPU backend (bench e2e 187 s -> 66 s on the second run).
+if not _os.environ.get("MQ3D_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 # Pose/geometry math follows input dtype (float64 on host paths for parity
 # with the reference's numpy math). Hot device kernels pin float32/bfloat16

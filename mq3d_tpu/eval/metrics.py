@@ -126,3 +126,57 @@ def count_boundary_edges(triangles: np.ndarray) -> int:
     edges = np.sort(edges, axis=1)
     _, counts = np.unique(edges, axis=0, return_counts=True)
     return int((counts == 1).sum())
+
+
+def count_holes(vertices: np.ndarray, triangles: np.ndarray,
+                min_hole_size_ratio: float = 0.01) -> int:
+    """Significant boundary loops (holes): connected components of the
+    boundary-edge graph whose perimeter exceeds min_hole_size_ratio of the
+    bbox diagonal (reference compare_mesh_to_ground_truth.py:364-494,
+    re-designed as sparse connected components instead of loop walking)."""
+    if len(triangles) == 0:
+        return 0
+    nv = len(vertices)
+    edges = np.concatenate(
+        [triangles[:, [0, 1]], triangles[:, [1, 2]], triangles[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    keys = edges[:, 0].astype(np.int64) * nv + edges[:, 1]
+    uniq, counts = np.unique(keys, return_counts=True)
+    b = uniq[counts == 1]
+    if len(b) == 0:
+        return 0
+    u = (b // nv).astype(np.int64)
+    v = (b % nv).astype(np.int64)
+
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    # Restrict the graph to boundary vertices only.
+    bverts, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[:len(u)], inv[len(u):]
+    adj = coo_matrix((np.ones(len(u), np.int8), (iu, iv)),
+                     shape=(len(bverts), len(bverts)))
+    n_comp, labels = connected_components(adj, directed=False)
+
+    lengths = np.linalg.norm(vertices[u] - vertices[v], axis=-1)
+    perimeters = np.zeros(n_comp)
+    np.add.at(perimeters, labels[iu], lengths)
+
+    diag = float(np.linalg.norm(vertices.max(0) - vertices.min(0)))
+    return int((perimeters >= diag * min_hole_size_ratio).sum())
+
+
+def normalize_scale(points: np.ndarray,
+                    reference_points: np.ndarray) -> tuple:
+    """Scale points (around their bbox center) so the bbox diagonal
+    matches the reference's (reference :626-671).
+    Returns (scaled points, scale factor)."""
+    extent = points.max(0) - points.min(0)
+    current = float(np.linalg.norm(extent))
+    target = float(np.linalg.norm(
+        reference_points.max(0) - reference_points.min(0)))
+    if current == 0:
+        return points, 1.0
+    factor = target / current
+    center = (points.max(0) + points.min(0)) / 2
+    return (points - center) * factor + center, factor

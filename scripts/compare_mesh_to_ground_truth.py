@@ -20,7 +20,9 @@ from mq3d_tpu.dataio.ply import TriangleMesh, read_ply
 from mq3d_tpu.eval.metrics import (
     compare_point_clouds,
     count_boundary_edges,
+    count_holes,
     mesh_surface_area,
+    normalize_scale,
     voxel_iou,
 )
 from mq3d_tpu.ops.icp import ICPConvergenceCriteria, multi_scale_icp
@@ -40,8 +42,13 @@ def main():
     parser.add_argument("--pred", type=Path, required=True, help="reconstructed PLY")
     parser.add_argument("--gt", type=Path, required=True, help="ground truth PLY")
     parser.add_argument("--samples", type=int, default=100_000)
-    parser.add_argument("--align", action="store_true",
-                        help="center + ICP align pred to gt before comparing")
+    parser.add_argument("--align", nargs="?", const="icp", default="none",
+                        choices=["none", "center", "icp"],
+                        help="alignment before comparing (bare --align = icp, "
+                             "matching the reference's center+ICP path)")
+    parser.add_argument("--scale-normalize", action="store_true",
+                        help="match pred bbox diagonal to gt before aligning "
+                             "(reference :626-671)")
     parser.add_argument("--fscore_tau", type=float, default=None)
     parser.add_argument("--iou_voxel", type=float, default=0.05)
     parser.add_argument("--heatmap", type=Path, default=None,
@@ -53,9 +60,15 @@ def main():
     pred_pts, pred_mesh = load_points(args.pred, args.samples)
     gt_pts, gt_mesh = load_points(args.gt, args.samples)
 
-    if args.align:
+    scale_factor = 1.0
+    if args.scale_normalize:
+        pred_pts, scale_factor = normalize_scale(pred_pts, gt_pts)
+        print(f"[Info] Scale normalization: factor={scale_factor:.6f}")
+
+    if args.align != "none":
         shift = gt_pts.mean(0) - pred_pts.mean(0)
         pred_pts = pred_pts + shift
+    if args.align == "icp":
         diag = float(np.linalg.norm(gt_pts.max(0) - gt_pts.min(0)))
         r = multi_scale_icp(
             pred_pts, gt_pts,
@@ -77,12 +90,15 @@ def main():
         "fscore": cmp.fscore,
         "fscore_tau": cmp.threshold,
         "voxel_iou": voxel_iou(pred_pts, gt_pts, args.iou_voxel),
+        "scale_factor": scale_factor,
     }
     if pred_mesh is not None:
         out["pred_surface_area"] = mesh_surface_area(pred_mesh.vertices, pred_mesh.triangles)
         out["pred_boundary_edges"] = count_boundary_edges(pred_mesh.triangles)
+        out["pred_num_holes"] = count_holes(pred_mesh.vertices, pred_mesh.triangles)
     if gt_mesh is not None:
         out["gt_surface_area"] = mesh_surface_area(gt_mesh.vertices, gt_mesh.triangles)
+        out["gt_num_holes"] = count_holes(gt_mesh.vertices, gt_mesh.triangles)
     print(json.dumps(out, indent=2))
 
     if args.heatmap is not None:

@@ -48,7 +48,7 @@ def convert_reconstruction_mesh_to_fbx(project_dir: Path) -> bool:
     return True
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser(description="Run the full reconstruction pipeline")
     parser.add_argument("--session_dir", type=Path, default=None,
                         help="capture session directory")
@@ -61,7 +61,7 @@ def main():
     parser.add_argument("--export-fbx", action="store_true")
     parser.add_argument("--profile", type=Path, default=None,
                         help="capture a jax.profiler trace into this directory")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     if args.session_dir is not None:
         session = args.session_dir

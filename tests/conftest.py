@@ -30,3 +30,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def cpu_subprocess_env():
+    """Env for CLI subprocess tests: force the CPU backend so the test
+    never contends for the exclusive single-process TPU tunnel."""
+    return {**os.environ, "JAX_PLATFORMS": "cpu", "MQ3D_FORCE_CPU": "1"}

@@ -106,7 +106,7 @@ class TestQuadricDecimation:
         err = np.abs(out.vertex_colors - expect).mean()
         assert err < 0.1
 
-    def test_cli_quadric_path(self, tmp_path):
+    def test_cli_quadric_path(self, tmp_path, cpu_subprocess_env):
         import subprocess
         import sys
 
@@ -119,7 +119,8 @@ class TestQuadricDecimation:
         r = subprocess.run(
             [sys.executable, "scripts/downsample_fbx_mesh.py",
              "--input", str(src), "--output", str(dst), "--ratio", "0.25"],
-            capture_output=True, text=True, cwd="/root/repo")
+            capture_output=True, text=True, cwd="/root/repo",
+            env=cpu_subprocess_env)
         assert r.returncode == 0, r.stderr
         out = read_ply(dst)
         assert len(out.triangles) < len(sphere.triangles) * 0.5

@@ -70,7 +70,7 @@ class TestColmap:
         sign = np.sign(back[0] * q_wxyz[0]) if q_wxyz[0] != 0 else 1.0
         np.testing.assert_allclose(back * sign, q_wxyz, atol=1e-9)
 
-    def test_colmap_cli(self, tmp_path, rng):
+    def test_colmap_cli(self, tmp_path, rng, cpu_subprocess_env):
         """build_colmap_project.py over a synthetic project with RGBs."""
         import subprocess
         import sys
@@ -95,6 +95,7 @@ class TestColmap:
             [sys.executable, "scripts/build_colmap_project.py",
              "--project_dir", str(proj)],
             capture_output=True, text=True, cwd="/root/repo",
+            env=cpu_subprocess_env,
         )
         assert r.returncode == 0, r.stderr
         model_dir = proj / "colmap/distorted/sparse/0"
@@ -334,3 +335,65 @@ class TestQualityCLI:
             float(rows["1_nofog"]["Q_norm"]) - float(rows["1_fog"]["Q_norm"]))
         html = (report_dir / "pairwise_quality_report.html").read_text()
         assert "base64" in html and "Fog vs NoFog" in html
+
+
+class TestHolesScale:
+    def test_count_holes_grid(self):
+        """Flat grid with one interior hole -> 2 boundary loops (outer +
+        hole); watertight cube -> 0."""
+        from mq3d_tpu.eval.metrics import count_holes
+
+        n = 10
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        v = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], -1)
+        tris = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                if 3 <= i <= 5 and 3 <= j <= 5:
+                    continue
+                a = i * n + j
+                tris += [(a, a + 1, a + n), (a + 1, a + n + 1, a + n)]
+        assert count_holes(v.astype(float), np.asarray(tris)) == 2
+        cube = make_cube_mesh()
+        assert count_holes(cube.vertices, cube.triangles) == 0
+
+    def test_normalize_scale(self, rng):
+        from mq3d_tpu.eval.metrics import normalize_scale
+
+        gt = rng.normal(size=(500, 3))
+        pred = gt * 0.5 + 7.0
+        scaled, factor = normalize_scale(pred, gt)
+        assert factor == pytest.approx(2.0)
+        d_gt = np.linalg.norm(gt.max(0) - gt.min(0))
+        d_s = np.linalg.norm(scaled.max(0) - scaled.min(0))
+        assert d_s == pytest.approx(d_gt)
+
+    def test_compare_cli_scale_align(self, tmp_path, rng,
+                                     cpu_subprocess_env):
+        """compare_mesh_to_ground_truth with --scale-normalize --align
+        recovers a scaled+shifted copy (near-zero chamfer)."""
+        import json
+        import subprocess
+        import sys
+
+        from mq3d_tpu.dataio.ply import write_ply_mesh
+
+        from tests.test_decimate import make_sphere
+
+        gt = make_sphere(n_theta=16, n_phi=32)
+        pred = make_sphere(n_theta=16, n_phi=32)
+        pred.vertices = pred.vertices * 0.7 + np.array([0.3, -0.2, 0.1])
+        gt_p, pred_p = tmp_path / "gt.ply", tmp_path / "pred.ply"
+        write_ply_mesh(gt_p, gt)
+        write_ply_mesh(pred_p, pred)
+        r = subprocess.run(
+            [sys.executable, "scripts/compare_mesh_to_ground_truth.py",
+             "--pred", str(pred_p), "--gt", str(gt_p),
+             "--samples", "5000", "--scale-normalize", "--align", "center"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env=cpu_subprocess_env)
+        assert r.returncode == 0, r.stderr
+        out = json.loads(r.stdout[r.stdout.index("{"):])
+        assert out["scale_factor"] == pytest.approx(1 / 0.7, rel=1e-3)
+        assert out["chamfer"] < 0.02
+        assert out["pred_num_holes"] == 0

@@ -3,6 +3,12 @@
 import subprocess
 import sys
 
+
+def _cpu_env():
+    import os
+
+    return {**os.environ, "JAX_PLATFORMS": "cpu", "MQ3D_FORCE_CPU": "1"}
+
 import numpy as np
 import pytest
 
@@ -59,6 +65,7 @@ class TestObj:
             [sys.executable, "scripts/convert_obj_to_fbx.py",
              "--input", str(obj_project / "mesh.obj"), "--output", str(out)],
             capture_output=True, text=True, cwd="/root/repo",
+            env=_cpu_env(),
         )
         assert r.returncode == 0, r.stderr + r.stdout
         assert out.exists()
@@ -74,6 +81,7 @@ class TestSessionCLIs:
         r = subprocess.run(
             [sys.executable, "scripts/analyze_recording_lengths.py", str(tmp_path)],
             capture_output=True, text=True, cwd="/root/repo",
+            env=_cpu_env(),
         )
         assert r.returncode == 0
         assert "left_depth" in r.stdout
@@ -83,6 +91,7 @@ class TestSessionCLIs:
              "--project_dir", str(tmp_path), "--offset_ms", "10",
              "--modalities", "left_depth"],
             capture_output=True, text=True, cwd="/root/repo",
+            env=_cpu_env(),
         )
         assert r2.returncode == 0
         assert (d / "1010.raw").exists()
