@@ -56,6 +56,7 @@ class TSDFConfig:
     alloc_pixel_stride: int = 2  # pixel subsampling for block allocation
     chunk_active_capacity: int = 12_288  # max blocks touched per chunk
     integrate_tile: int = 512  # blocks per integration tile (VMEM working set)
+    tile_loop: str = "grouped"  # "static" fori | "grouped" dynamic while
 
     @property
     def trunc(self) -> float:
@@ -226,10 +227,16 @@ def integrate_chunk(
     TM = cfg.integrate_tile
     n_tiles = (M + TM - 1) // TM
 
+    n_act_chunk = jnp.minimum(rank2[-1], M)
+    n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
+
     def tile_body(t, carry):
         tsdf_arr, weight_arr = carry
         slots = jax.lax.dynamic_slice(active_slots, (t * TM,), (TM,))
-        slot_ok = slots < cap
+        # Guard against group-padding re-visits: a tile index at or past
+        # the dynamic count must be a no-op even if dynamic_slice clamps
+        # its window onto live slots.
+        slot_ok = (slots < cap) & (t < n_tiles_dyn)
         bc = block_coords[jnp.minimum(slots, cap)]  # (TM, 3)
 
         # Per-frame touch bits for this tile's blocks: (TM, C).
@@ -286,20 +293,32 @@ def integrate_chunk(
     # ceil(actual_active / TM) tiles carry work — a chunk typically touches
     # a small fraction of chunk_active_capacity and the static bound would
     # burn ~M/actual x the compute (the inner loop is the pipeline's #1
-    # FLOP sink).  lax.while_loop supports the data-dependent trip count.
-    n_act_chunk = jnp.minimum(rank2[-1], M)
-    n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
+    # FLOP sink).  A bare lax.while_loop over single tiles measured 3x
+    # SLOWER than the static fori (it defeats XLA's unroll/pipelining), so
+    # the loop runs over GROUPS of tiles: a data-dependent while over
+    # groups, each body an unrolled run of _TILE_GROUP tile_body calls
+    # (tiles at or past the dynamic count no-op via the slot_ok guard).
+    if cfg.tile_loop == "static":
+        tsdf_arr, weight_arr = jax.lax.fori_loop(
+            0, n_tiles, tile_body, (state.tsdf, state.weight)
+        )
+    else:
+        group = min(_TILE_GROUP, n_tiles)
+        n_groups_dyn = (n_tiles_dyn + group - 1) // group
 
-    def tile_cond(c):
-        return c[0] < n_tiles_dyn
+        def tile_cond(c):
+            return c[0] < n_groups_dyn
 
-    def tile_step(c):
-        t, arrs = c
-        return (t + 1, tile_body(t, arrs))
+        def tile_step(c):
+            g, arrs = c
+            for k in range(group):
+                arrs = tile_body(
+                    jnp.minimum(g * group + k, n_tiles - 1), arrs)
+            return (g + 1, arrs)
 
-    _, (tsdf_arr, weight_arr) = jax.lax.while_loop(
-        tile_cond, tile_step, (jnp.int32(0), (state.tsdf, state.weight))
-    )
+        _, (tsdf_arr, weight_arr) = jax.lax.while_loop(
+            tile_cond, tile_step, (jnp.int32(0), (state.tsdf, state.weight))
+        )
     # Keep the sentinel row zeroed.
     tsdf_arr = tsdf_arr.at[cap].set(0.0)
     weight_arr = weight_arr.at[cap].set(0.0)
@@ -656,6 +675,9 @@ def _extract_mesh_jit(
 # compile/run; retried calls re-raise immediately instead of burning another
 # compile attempt per extraction.
 _DEVICE_EXTRACT_FAILED: set = set()
+
+# Tiles per while-loop group in the integrate inner loop (unrolled).
+_TILE_GROUP = 4
 
 
 class TSDFVolume:

@@ -173,10 +173,13 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data",
         TM = cfg.integrate_tile
         n_tiles = (M + TM - 1) // TM
 
+        n_act_chunk = jnp.minimum(rank2[-1], M)
+        n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
+
         def tile_body(t, acc):
             sums, cnts = acc
             slots = jax.lax.dynamic_slice(active_slots, (t * TM,), (TM,))
-            slot_ok = slots < cap
+            slot_ok = (slots < cap) & (t < n_tiles_dyn)
             bc = block_coords[jnp.minimum(slots, cap)]
             tile_keys = _block_keys(bc, G)
             touch_bits = frame_touched[
@@ -221,18 +224,24 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data",
 
         sums0 = jnp.zeros((rows, cfg.r3), jnp.float32)
         cnts0 = jnp.zeros((rows, cfg.r3), jnp.float32)
-        # Dynamic tile count (see ops/tsdf.py): only tiles with live slots
-        # run; the active list is front-compacted and identical on every
-        # device, so all devices agree on the trip count.
-        n_act_chunk = jnp.minimum(rank2[-1], M)
-        n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
+        # Dynamic GROUPED tile loop (see ops/tsdf.py): a data-dependent
+        # while over groups of unrolled tiles; the active list is
+        # front-compacted and identical on every device, so all devices
+        # agree on the trip count.
+        from mq3d_tpu.ops.tsdf import _TILE_GROUP
+
+        group = min(_TILE_GROUP, n_tiles)
+        n_groups_dyn = (n_tiles_dyn + group - 1) // group
 
         def tile_cond(c):
-            return c[0] < n_tiles_dyn
+            return c[0] < n_groups_dyn
 
         def tile_step(c):
-            t, acc = c
-            return (t + 1, tile_body(t, acc))
+            g, acc = c
+            for k in range(group):
+                acc = tile_body(
+                    jnp.minimum(g * group + k, n_tiles - 1), acc)
+            return (g + 1, acc)
 
         _, (sums, cnts) = jax.lax.while_loop(
             tile_cond, tile_step, (jnp.int32(0), (sums0, cnts0))
