@@ -87,6 +87,22 @@ class ImageDataIO:
         file_path.parent.mkdir(parents=True, exist_ok=True)
         imwrite(file_path, np.ascontiguousarray(bgr))
 
+    def save_bgr_batch(self, bgrs: np.ndarray, side: Side,
+                       timestamps) -> int:
+        """Parallel native PNG encode of a same-shape frame batch (the
+        YUV stage's write path); per-image fallback otherwise.  Returns
+        the number written."""
+        from mq3d_tpu.utils.native import write_png_batch
+
+        paths = [self.image_path_config.get_rgb_file_path(side, int(ts))
+                 for ts in timestamps]
+        if paths:
+            paths[0].parent.mkdir(parents=True, exist_ok=True)
+        ok = write_png_batch(paths, np.ascontiguousarray(bgrs))
+        for i in np.flatnonzero(~np.asarray(ok)):
+            imwrite(paths[i], np.ascontiguousarray(bgrs[i]))
+        return len(paths)
+
     # -- metadata -----------------------------------------------------------------
 
     def load_image_format_info(self, side: Side) -> ImageFormatInfo:

@@ -74,12 +74,12 @@ def convert_yuv_directory(image_io: ImageDataIO, config: Yuv2RgbConfig):
                         config.exposure_threshold_high,
                     )
                 )
-            for i, ts in enumerate(ok_ts):
-                if not keep[i]:
-                    excluded += 1
-                    continue
-                image_io.save_bgr(bgrs[i], side, ts)
-                processed += 1
+            kept_idx = np.flatnonzero(keep)
+            excluded += int(len(ok_ts) - len(kept_idx))
+            if len(kept_idx):
+                processed += image_io.save_bgr_batch(
+                    np.asarray(bgrs)[kept_idx], side,
+                    [ok_ts[i] for i in kept_idx])
 
         print(f"[Info] {processed} images written to "
               f"{image_io.image_path_config.get_rgb_dir(side)}")

@@ -52,6 +52,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        for name in ("mqio_read_raw_batch_mt", "mqio_write_png_batch"):
+            if not hasattr(lib, name):  # stale .so without MT entry points
+                raise OSError(f"{name} missing; rebuild")
+        lib.mqio_read_raw_batch_mt.restype = ctypes.c_int
+        lib.mqio_read_raw_batch_mt.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib.mqio_write_png_batch.restype = ctypes.c_int
+        lib.mqio_write_png_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
         _LIB = lib
     except Exception as e:  # pragma: no cover
         print(f"[Info] native mqio unavailable ({e}); using Python fallbacks")
@@ -72,10 +87,11 @@ def read_raw_batch(paths: List[Path], frame_bytes: int) -> Tuple[np.ndarray, np.
     lib = _load()
     if lib is not None and n:
         arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
-        lib.mqio_read_raw_batch(
+        lib.mqio_read_raw_batch_mt(
             arr, n, frame_bytes,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            0,  # auto thread count
         )
         return out, ok.astype(bool)
     for i, p in enumerate(paths):  # fallback
@@ -111,3 +127,36 @@ def write_png(path: Path, img: np.ndarray, compression_level: int = 3) -> bool:
         img.shape[1], img.shape[0], channels, compression_level,
     )
     return rc == 0
+
+
+def write_png_batch(paths: List[Path], imgs: np.ndarray,
+                    compression_level: int = 3,
+                    n_threads: int = 0) -> np.ndarray:
+    """Parallel native PNG encode of a (n, H, W[, 3]) batch (BGR input for
+    3-channel, matching the pipeline convention).  Returns a success mask;
+    falls back to per-image write_png / zlib-free paths when the native
+    library is unavailable."""
+    n = len(paths)
+    ok = np.zeros(n, bool)
+    if n == 0:
+        return ok
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    lib = _load()
+    if lib is not None and imgs.ndim in (3, 4):
+        channels = 1 if imgs.ndim == 3 else imgs.shape[3]
+        if channels in (1, 3):
+            data = imgs if channels == 1 else np.ascontiguousarray(
+                imgs[..., ::-1])  # BGR -> RGB
+            okc = np.zeros(n, np.uint8)
+            arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+            lib.mqio_write_png_batch(
+                arr, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n, imgs.shape[2], imgs.shape[1], channels,
+                compression_level,
+                okc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n_threads,
+            )
+            return okc.astype(bool)
+    for i, p in enumerate(paths):  # fallback
+        ok[i] = write_png(p, imgs[i], compression_level)
+    return ok

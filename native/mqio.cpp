@@ -5,12 +5,16 @@
 // batched raw-frame readers, Android image-plane de-striding, and a zlib
 // PNG encoder, exposed over a C ABI for ctypes.
 //
-// Build: g++ -O3 -shared -fPIC mqio.cpp -o _mqio.so -lz
+// Build: g++ -O3 -shared -fPIC mqio.cpp -o _mqio.so -lz -lpthread
 
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
+#include <atomic>
+#include <thread>
+#include <vector>
 #include <zlib.h>
 
 extern "C" {
@@ -134,6 +138,73 @@ int mqio_write_png(const char* path, const uint8_t* data, int width,
     free(comp);
     fclose(f);
     return rc;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch variants: overlap file IO / zlib across cores (the
+// reference fans its YUV stage out with a host process pool;
+// scripts/processing/yuv_conversion/convert_yuv_dir.py:70-86 — this is the
+// native-runtime equivalent).
+// ---------------------------------------------------------------------------
+
+static int clamp_threads(int n_threads, int n_items) {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 4;
+    if (n_threads <= 0) n_threads = (int)hw;
+    return std::max(1, std::min(n_threads, n_items));
+}
+
+// Parallel batched raw reads.  Same contract as mqio_read_raw_batch.
+int mqio_read_raw_batch_mt(const char** paths, int n_files, long frame_bytes,
+                           uint8_t* out, uint8_t* ok, int n_threads) {
+    n_threads = clamp_threads(n_threads, n_files);
+    std::atomic<int> next(0), complete(0);
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n_files) return;
+            uint8_t* dst = out + (long)i * frame_bytes;
+            long n = mqio_read_file(paths[i], dst, frame_bytes);
+            if (n == frame_bytes) {
+                ok[i] = 1;
+                complete.fetch_add(1);
+            } else {
+                ok[i] = 0;
+                if (n < 0) n = 0;
+                memset(dst + n, 0, (size_t)(frame_bytes - n));
+            }
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+    return complete.load();
+}
+
+// Parallel PNG encode+write of n images sharing (width, height, channels).
+// data: contiguous (n, height, width, channels). ok[i]=1 on success.
+// Returns the number written.
+int mqio_write_png_batch(const char** paths, const uint8_t* data, int n,
+                         int width, int height, int channels,
+                         int compression_level, uint8_t* ok,
+                         int n_threads) {
+    n_threads = clamp_threads(n_threads, n);
+    long frame = (long)width * height * channels;
+    std::atomic<int> next(0), complete(0);
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n) return;
+            int rc = mqio_write_png(paths[i], data + (long)i * frame, width,
+                                    height, channels, compression_level);
+            ok[i] = rc == 0 ? 1 : 0;
+            if (rc == 0) complete.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+    return complete.load();
 }
 
 }  // extern "C"

@@ -71,3 +71,38 @@ class TestNative:
         for i in range(len(ds)):
             single = io.depth.load_depth_map_by_index(Side.LEFT, ds, i)
             np.testing.assert_allclose(stack[i], single, rtol=1e-6, atol=1e-6)
+
+
+class TestThreadedBatchIO:
+    def test_read_raw_batch_mt(self, tmp_path, rng):
+        from mq3d_tpu.utils.native import native_available, read_raw_batch
+
+        if not native_available():
+            pytest.skip("native runtime unavailable")
+        frames = [rng.integers(0, 255, 1024, dtype=np.uint8)
+                  for _ in range(17)]
+        paths = []
+        for i, f in enumerate(frames):
+            p = tmp_path / f"f{i}.raw"
+            f.tofile(p)
+            paths.append(p)
+        paths.append(tmp_path / "missing.raw")
+        out, ok = read_raw_batch(paths, 1024)
+        assert ok[:17].all() and not ok[17]
+        for i, f in enumerate(frames):
+            np.testing.assert_array_equal(out[i], f)
+        assert (out[17] == 0).all()
+
+    def test_write_png_batch_roundtrip(self, tmp_path, rng):
+        from mq3d_tpu.utils.native import native_available, write_png_batch
+        from mq3d_tpu.utils.png import imread_bgr
+
+        if not native_available():
+            pytest.skip("native runtime unavailable")
+        imgs = rng.integers(0, 255, (9, 24, 32, 3), dtype=np.uint8)
+        paths = [tmp_path / f"i{k}.png" for k in range(9)]
+        ok = write_png_batch(paths, imgs)
+        assert ok.all()
+        for k, p in enumerate(paths):
+            back = imread_bgr(p)
+            np.testing.assert_array_equal(back, imgs[k])
