@@ -142,9 +142,16 @@ def _nn_query(
     capacity: int,
 ):
     """Returns (idx (N,), dist (N,)): nearest target within the 2x2x2 cell
-    neighborhood (covers everything within `cell`); inf dist if none."""
+    neighborhood (covers everything within `cell`); inf dist if none.
+
+    Candidates reduce INCREMENTALLY (fori over the per-cell bucket) so only
+    (N,)-shaped vectors are ever live: the obvious (N, K, 3) gather pads
+    its minor dim 3 -> 128 in the T(8,128) layout — a 42x blow-up that
+    OOMed HBM at production cloud sizes under vmap."""
     Tf = T.astype(jnp.float32)
     p = src @ Tf[:3, :3].T + Tf[:3, 3]
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    tx, ty, tz = target[:, 0], target[:, 1], target[:, 2]
     rel = (p - gmin) / cell
     base = jnp.floor(rel - 0.5).astype(jnp.int32)
 
@@ -153,7 +160,6 @@ def _nn_query(
 
     best_d2 = jnp.full(p.shape[0], jnp.inf, jnp.float32)
     best_i = jnp.full(p.shape[0], -1, jnp.int32)
-    ks = jnp.arange(capacity, dtype=jnp.int32)[None, :]
     for dx in range(2):
         for dy in range(2):
             for dz in range(2):
@@ -161,17 +167,22 @@ def _nn_query(
                 ok = jnp.all((c >= 0) & (c < dims), axis=-1)
                 lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
                 lin = jnp.where(ok & (lin < n_cells), lin, n_cells - 1)
-                ti = table[lin[:, None] * capacity + ks]  # (N, K)
-                ti_ok = ok[:, None] & (ti >= 0)
-                q = target[jnp.maximum(ti, 0)]  # (N, K, 3)
-                d2 = jnp.sum((p[:, None, :] - q) ** 2, axis=-1)
-                d2 = jnp.where(ti_ok, d2, jnp.inf)
-                k_best = jnp.argmin(d2, axis=-1)
-                d2_best = jnp.take_along_axis(d2, k_best[:, None], axis=-1)[:, 0]
-                i_best = jnp.take_along_axis(ti, k_best[:, None], axis=-1)[:, 0]
-                better = d2_best < best_d2
-                best_d2 = jnp.where(better, d2_best, best_d2)
-                best_i = jnp.where(better, i_best, best_i)
+                slot0 = lin * capacity
+
+                def k_body(k, carry, slot0=slot0, ok=ok):
+                    bd2, bi = carry
+                    ti = table[slot0 + k]  # (N,)
+                    ok2 = ok & (ti >= 0)
+                    ti_s = jnp.maximum(ti, 0)
+                    d2 = ((px - tx[ti_s]) ** 2 + (py - ty[ti_s]) ** 2
+                          + (pz - tz[ti_s]) ** 2)
+                    d2 = jnp.where(ok2, d2, jnp.inf)
+                    better = d2 < bd2
+                    return (jnp.where(better, d2, bd2),
+                            jnp.where(better, ti, bi))
+
+                best_d2, best_i = jax.lax.fori_loop(
+                    0, capacity, k_body, (best_d2, best_i))
     return best_i, jnp.sqrt(best_d2)
 
 
@@ -566,3 +577,81 @@ def registration_icp_batch(
                            int(n_in[i]))
         for i in range(B)
     ]
+
+
+_icp_level_vmapped_shared = jax.jit(
+    jax.vmap(
+        _icp_level_device,
+        in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, None,
+                 None),
+    ),
+    static_argnums=(11, 12),
+)
+
+
+def registration_icp_batch_shared(
+    sources,
+    grid: GridNN,
+    max_corrs,
+    inits=None,
+    criteria=None,
+    max_stack_bytes: int = 256 * 1024 * 1024,
+):
+    """Batched ICP for pairs sharing one TARGET grid: the grid stays
+    un-stacked on device (one copy regardless of batch size) and only the
+    sources batch.  This is the memory-safe shape for the O(F^2) fragment
+    pairs, where each target fragment serves ~F sources and a stacked
+    per-pair grid table (100+ MB each at fine pyramid levels) OOMs HBM.
+
+    Sources chunk by stacked bytes so device residency stays bounded."""
+    B = len(sources)
+    if B == 0:
+        return []
+    inits = inits if inits is not None else [None] * B
+    criteria = criteria if criteria is not None else [
+        ICPConvergenceCriteria() for _ in range(B)
+    ]
+
+    src_pads = [_pad_src(np.asarray(s, np.float32)) for s in sources]
+    n_pad = max(s.shape[0] for s, _ in src_pads)
+    per_src_bytes = n_pad * 3 * 4
+    chunk = max(int(max_stack_bytes // max(per_src_bytes, 1)), 1)
+
+    tgt = jnp.asarray(grid.target)
+    table = jnp.asarray(grid.table)
+    gmin = jnp.asarray(grid.gmin)
+    dims = jnp.asarray(grid.dims)
+
+    out: list = []
+    for s0 in range(0, B, chunk):
+        idxs = range(s0, min(s0 + chunk, B))
+        bs = len(idxs)
+        src = np.full((bs, n_pad, 3), np.inf, np.float32)
+        n_src = np.zeros((bs,), np.int32)
+        for j, i in enumerate(idxs):
+            sp, n = src_pads[i]
+            src[j, : sp.shape[0]] = sp
+            n_src[j] = n
+        T0 = np.stack([
+            np.eye(4) if inits[i] is None else np.asarray(inits[i],
+                                                          np.float64)
+            for i in idxs])
+        rel_f = np.asarray([criteria[i].relative_fitness for i in idxs],
+                           np.float32)
+        rel_r = np.asarray([criteria[i].relative_rmse for i in idxs],
+                           np.float32)
+        mc = np.asarray([max_corrs[i] for i in idxs], np.float32)
+        max_iter = max(int(criteria[i].max_iteration) for i in idxs)
+
+        T, fitness, rmse, n_in = _icp_level_vmapped_shared(
+            jnp.asarray(src), jnp.asarray(n_src), tgt, table, gmin, dims,
+            jnp.float32(grid.cell), jnp.asarray(mc), jnp.asarray(T0),
+            jnp.asarray(rel_f), jnp.asarray(rel_r),
+            grid.capacity, max_iter)
+        T, fitness, rmse, n_in = (np.asarray(x)
+                                  for x in (T, fitness, rmse, n_in))
+        out.extend(
+            RegistrationResult(T[j], float(fitness[j]), float(rmse[j]),
+                               int(n_in[j]))
+            for j in range(bs))
+    return out

@@ -261,7 +261,11 @@ def compute_pcd_pair_edges_batched(
     (refine_fragment_poses.py:122-193); this is the TPU-native wide/
     multi-chip formulation.
     """
-    from mq3d_tpu.ops.icp import build_grid_nn, registration_icp_batch
+    from mq3d_tpu.ops.icp import (
+        build_grid_nn,
+        registration_icp_batch,
+        registration_icp_batch_shared,
+    )
 
     criteria = [
         ICPConvergenceCriteria(mi, rf, rr)
@@ -298,20 +302,25 @@ def compute_pcd_pair_edges_batched(
                     ds(key), config.pre_filter_max_corr_dist)
             return grid_cache[key]
 
+        # Group by target so ONE grid serves all its sources (a stacked
+        # per-pair grid table OOMs HBM at production fragment sizes).
+        by_target: dict = {}
+        for pq in uncertain:
+            by_target.setdefault(pq[1], []).append(pq)
         kept = []
-        for chunk in chunks(uncertain, pairs_per_launch):
-            res = registration_icp_batch(
-                [ds(node_side_index_list[s]) for s, _, _ in chunk],
-                [ds_grid(node_side_index_list[t]) for _, t, _ in chunk],
-                [config.pre_filter_max_corr_dist] * len(chunk),
-                criteria=[ICPConvergenceCriteria(0)] * len(chunk),
-                mesh=mesh,
+        for t, group in by_target.items():
+            res = registration_icp_batch_shared(
+                [ds(node_side_index_list[s]) for s, _, _ in group],
+                ds_grid(node_side_index_list[t]),
+                [config.pre_filter_max_corr_dist] * len(group),
+                criteria=[ICPConvergenceCriteria(0)] * len(group),
             )
-            for pq, r in zip(chunk, res):
+            for pq, r in zip(group, res):
                 if (r.fitness >= config.pre_filter_fitness_threshold
                         and r.inlier_rmse
                         <= config.pre_filter_inlier_rmse_threshold):
                     kept.append(pq)
+        kept.sort(key=lambda pq: uncertain.index(pq))
         print(f"[Info] Pre-filter kept {len(kept)} / {len(uncertain)} "
               "uncertain pairs")
         survivors = certain + kept
@@ -320,25 +329,23 @@ def compute_pcd_pair_edges_batched(
     if not survivors:
         return []
 
-    # ---- multiscale ICP: level-by-level over the whole surviving batch ----
+    # ---- multiscale ICP: level-by-level, grouped by shared target ----------
     T = {i: np.eye(4) for i in range(len(survivors))}
     last = {}
+    groups: dict = {}
+    for i, (s_n, t_n, unc) in enumerate(survivors):
+        groups.setdefault(t_n, []).append(i)
     for level in range(n_levels):
         max_corr = config.max_corr_dists[level]
-        for base, chunk in zip(
-            range(0, len(survivors), pairs_per_launch),
-            chunks(list(enumerate(survivors)), pairs_per_launch),
-        ):
-            idxs = [i for i, _ in chunk]
-            res = registration_icp_batch(
-                [cache.get_pyramid(node_side_index_list[s])[level]
-                 for _, (s, _, _) in chunk],
-                [cache.get_grid(node_side_index_list[t], level)
-                 for _, (_, t, _) in chunk],
-                [max_corr] * len(chunk),
+        for t_n, idxs in groups.items():
+            res = registration_icp_batch_shared(
+                [cache.get_pyramid(
+                    node_side_index_list[survivors[i][0]])[level]
+                 for i in idxs],
+                cache.get_grid(node_side_index_list[t_n], level),
+                [max_corr] * len(idxs),
                 inits=[T[i] for i in idxs],
-                criteria=[criteria[level]] * len(chunk),
-                mesh=mesh,
+                criteria=[criteria[level]] * len(idxs),
             )
             for i, r in zip(idxs, res):
                 T[i] = r.transformation
