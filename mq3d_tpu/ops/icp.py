@@ -588,6 +588,10 @@ _icp_level_vmapped_shared = jax.jit(
     static_argnums=(11, 12),
 )
 
+# Largest source pad the vmapped shared-grid executable survives on the
+# installed TPU runtime (see registration_icp_batch_shared).
+_VMAP_SRC_PAD_LIMIT = 131072
+
 
 def registration_icp_batch_shared(
     sources,
@@ -614,6 +618,23 @@ def registration_icp_batch_shared(
 
     src_pads = [_pad_src(np.asarray(s, np.float32)) for s in sources]
     n_pad = max(s.shape[0] for s, _ in src_pads)
+
+    # The vmapped ICP executable crashes the TPU worker ("kernel fault")
+    # for source pads >= 262144 on the installed runtime (bisected:
+    # 131072 is fine at any batch size, 262144 dies even at B=2).  Above
+    # the limit, run pairs through the unbatched single-pair executable,
+    # which is stable at every size.
+    if n_pad > _VMAP_SRC_PAD_LIMIT:
+        out = []
+        grid_np = grid
+        for i in range(B):
+            out.append(registration_icp(
+                np.asarray(sources[i], np.float32),
+                None,  # target unused when grid given
+                float(max_corrs[i]), init=inits[i], criteria=criteria[i],
+                grid=grid_np))
+        return out
+
     per_src_bytes = n_pad * 3 * 4
     chunk = max(int(max_stack_bytes // max(per_src_bytes, 1)), 1)
 
