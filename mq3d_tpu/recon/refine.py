@@ -337,6 +337,8 @@ def compute_pcd_pair_edges_batched(
         groups.setdefault(t_n, []).append(i)
     for level in range(n_levels):
         max_corr = config.max_corr_dists[level]
+        print(f"[Info] Pair ICP level {level + 1}/{n_levels}: "
+              f"{len(survivors)} pairs in {len(groups)} target groups")
         for t_n, idxs in groups.items():
             res = registration_icp_batch_shared(
                 [cache.get_pyramid(
