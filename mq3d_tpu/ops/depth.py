@@ -23,7 +23,9 @@ def ndc_to_linear_params(near, far):
     xp = get_namespace(near, far)
     near = xp.asarray(near, dtype=xp.float64 if xp is np else None)
     far = xp.asarray(far)
-    inf_far = xp.isinf(far) | (far < near)
+    # <= (reference uses <): far == near would divide by zero below; the
+    # degenerate plane pair falls back to the infinite-far model.
+    inf_far = xp.isinf(far) | (far <= near)
     x = xp.where(inf_far, -2.0 * near, -2.0 * far * near / xp.where(inf_far, 1.0, far - near))
     y = xp.where(inf_far, -1.0, -(far + near) / xp.where(inf_far, 1.0, far - near))
     return x, y

@@ -176,3 +176,63 @@ class TestPallasYuv:
             got = yuv420_to_bgr_pallas(y, u, v, interpret=True)
             ref = np.asarray(yuv420_to_8uc3(y[None], u[None], v[None]))[0]
             np.testing.assert_array_equal(got, ref)
+
+
+class TestNdcDepthFuzz:
+    """Edge-case fuzz for the NDC -> linear conversion (reference
+    depth_utils.py:21-47): infinite far plane, inverted planes,
+    zero-denominator bands, full [0,1] sweep — conversion must never emit
+    nan/inf and must invert the forward projection on valid rows."""
+
+    def _forward_ndc(self, z, near, far):
+        """Metric z -> reversed NDC via the same projection model."""
+        if np.isinf(far):
+            x, y = -2.0 * near, -1.0
+        else:
+            x, y = -2.0 * far * near / (far - near), -(far + near) / (far - near)
+        return ((x / z) - y + 1.0) / 2.0
+
+    def test_roundtrip_finite_far(self, rng):
+        from mq3d_tpu.ops.depth import convert_depth_to_linear
+
+        near, far = 0.1, 50.0
+        z = rng.uniform(near, far * 0.99, (64, 64)).astype(np.float64)
+        d = self._forward_ndc(z, near, far)
+        z_back = convert_depth_to_linear(d, near, far)
+        np.testing.assert_allclose(z_back, z, rtol=2e-4)
+
+    def test_roundtrip_infinite_far(self, rng):
+        from mq3d_tpu.ops.depth import convert_depth_to_linear
+
+        near = 0.1
+        z = rng.uniform(near, 100.0, (64, 64))
+        d = self._forward_ndc(z, near, np.inf)
+        z_back = convert_depth_to_linear(d, near, np.inf)
+        np.testing.assert_allclose(z_back, z, rtol=2e-3)
+
+    def test_no_nan_inf_on_full_sweep(self):
+        from mq3d_tpu.ops.depth import convert_depth_to_linear
+
+        d = np.linspace(-0.5, 1.5, 4001)  # includes out-of-range buffers
+        for near, far in ((0.1, 50.0), (0.1, np.inf), (0.5, 0.2),
+                          (0.1, 0.1)):
+            out = convert_depth_to_linear(d, near, far)
+            assert np.isfinite(out).all(), (near, far)
+
+    def test_zero_denominator_band_is_zeroed(self):
+        from mq3d_tpu.ops.depth import to_linear_depth
+
+        # Exact-zero denominator (binary-exact values): 2*0.75 - 1 - 0.5
+        # == 0 -> the reference zeroes the output rather than dividing.
+        out = to_linear_depth(np.asarray([0.75]), -2.0, -0.5)
+        assert out[0] == 0.0
+
+    def test_degenerate_planes_use_infinite_model(self):
+        from mq3d_tpu.ops.depth import ndc_to_linear_params
+
+        # far < near AND far == near (which divides by zero in the
+        # reference) fall back to the infinite-far model.
+        for far in (0.2, 0.5):
+            x1, y1 = ndc_to_linear_params(0.5, far)
+            x2, y2 = ndc_to_linear_params(0.5, np.inf)
+            assert x1 == x2 and y1 == y2
