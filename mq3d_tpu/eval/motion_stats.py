@@ -281,8 +281,18 @@ def inter_hand_stats(
     if len(lp) < 2 or len(rp) < 2:
         return zeros
     # Nearest right sample per left timestamp (reference :396-403).
-    idx = np.abs(rt[None, :] - lt[:, None]).argmin(axis=1)
-    rp_i = rp[idx]
+    # searchsorted, not a full (L, R) difference matrix — at 90 Hz over
+    # minutes that matrix is tens of GB; this is O((L+R) log R) time,
+    # O(L) memory.  Right timestamps are monotone (capture order); sort
+    # defensively in case a trim tool reordered them.
+    order = np.argsort(rt, kind="stable")
+    rt_s, rp_s = rt[order], rp[order]
+    hi_i = np.searchsorted(rt_s, lt)
+    lo_i = np.clip(hi_i - 1, 0, len(rt_s) - 1)
+    hi_i = np.clip(hi_i, 0, len(rt_s) - 1)
+    pick_hi = np.abs(rt_s[hi_i] - lt) < np.abs(lt - rt_s[lo_i])
+    idx = np.where(pick_hi, hi_i, lo_i)
+    rp_i = rp_s[idx]
 
     dist = np.linalg.norm(lp - rp_i, axis=1)
     ld = np.diff(lp, axis=0)

@@ -112,11 +112,11 @@ def _drop_degenerate(tris: np.ndarray) -> np.ndarray:
     if len(tris) == 0:
         return tris
     # Duplicate faces (same vertex set) can appear after collapses of
-    # tetrahedral slivers; drop them.
+    # tetrahedral slivers; drop them.  Dedupe on the sorted index rows
+    # directly — packing three indices into one int64 overflows past ~2M
+    # vertices and silently collides distinct faces.
     key = np.sort(tris, axis=1)
-    _, first = np.unique(
-        key[:, 0] * (key.max() + 1) ** 2 + key[:, 1] * (key.max() + 1)
-        + key[:, 2], return_index=True)
+    _, first = np.unique(key, axis=0, return_index=True)
     return tris[np.sort(first)]
 
 

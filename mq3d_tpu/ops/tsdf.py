@@ -231,11 +231,13 @@ def integrate_chunk(
     n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
 
     def tile_body(t, carry):
+        # `t` may exceed n_tiles-1 (group padding in the dynamic loop); only
+        # the slice start is clamped — the slot_ok guard uses the RAW index so
+        # a padded revisit of the last tile is a no-op even when the chunk
+        # saturates capacity (n_tiles_dyn == n_tiles).
         tsdf_arr, weight_arr = carry
-        slots = jax.lax.dynamic_slice(active_slots, (t * TM,), (TM,))
-        # Guard against group-padding re-visits: a tile index at or past
-        # the dynamic count must be a no-op even if dynamic_slice clamps
-        # its window onto live slots.
+        t_clamped = jnp.minimum(t, n_tiles - 1)
+        slots = jax.lax.dynamic_slice(active_slots, (t_clamped * TM,), (TM,))
         slot_ok = (slots < cap) & (t < n_tiles_dyn)
         bc = block_coords[jnp.minimum(slots, cap)]  # (TM, 3)
 
@@ -312,8 +314,7 @@ def integrate_chunk(
         def tile_step(c):
             g, arrs = c
             for k in range(group):
-                arrs = tile_body(
-                    jnp.minimum(g * group + k, n_tiles - 1), arrs)
+                arrs = tile_body(g * group + k, arrs)
             return (g + 1, arrs)
 
         _, (tsdf_arr, weight_arr) = jax.lax.while_loop(
@@ -671,10 +672,25 @@ def _extract_mesh_jit(
 # Host-side volume wrapper with persistence + extraction
 # ---------------------------------------------------------------------------
 
-# Device-extraction (n_bucket, capacities) signatures that failed to
-# compile/run; retried calls re-raise immediately instead of burning another
-# compile attempt per extraction.
+# Device-extraction (cfg, n_bucket, capacities) signatures that failed with a
+# deterministic resource error (OOM); retried calls re-raise immediately
+# instead of burning another compile attempt per extraction.  Transient
+# failures (device preemption, runtime hiccups) are NOT cached — they retry.
 _DEVICE_EXTRACT_FAILED: set = set()
+
+# Error-message markers for failures that are deterministic for a given
+# (cfg, size) signature and therefore worth caching.
+_DETERMINISTIC_EXTRACT_ERRORS = ("RESOURCE_EXHAUSTED", "out of memory", "OOM")
+
+
+def _cache_extract_failure(sig, exc) -> None:
+    if any(m in str(exc) for m in _DETERMINISTIC_EXTRACT_ERRORS):
+        _DEVICE_EXTRACT_FAILED.add(sig)
+
+
+def clear_device_extract_failures() -> None:
+    """Reset the device-extraction failure cache (e.g. after a device reset)."""
+    _DEVICE_EXTRACT_FAILED.clear()
 
 # Tiles per while-loop group in the integrate inner loop (unrolled).
 _TILE_GROUP = 4
@@ -1125,7 +1141,7 @@ class TSDFVolume:
         while n_bucket < self.n_active:
             n_bucket *= 2
         n_bucket = min(n_bucket, self.cfg.block_count)
-        sig = ("mesh", n_bucket, max_verts, max_tris)
+        sig = ("mesh", self.cfg, n_bucket, max_verts, max_tris)
         if sig in _DEVICE_EXTRACT_FAILED:
             raise RuntimeError("device extraction previously failed at this size")
         try:
@@ -1133,10 +1149,10 @@ class TSDFVolume:
                 self.cfg, self.state, jnp.float32(weight_threshold),
                 n_bucket, max_verts, max_tris,
             )
-        except Exception:
-            # Remember the failure: each retry would waste a ~100 s compile
-            # attempt (e.g. HBM OOM at over-sized capacities).
-            _DEVICE_EXTRACT_FAILED.add(sig)
+        except Exception as e:
+            # Remember deterministic failures: each retry would waste a
+            # ~100 s compile attempt (e.g. HBM OOM at over-sized capacities).
+            _cache_extract_failure(sig, e)
             raise
         nv = fetch_int(nv)
         nt = fetch_int(nt)
@@ -1171,7 +1187,7 @@ class TSDFVolume:
         while n_bucket < self.n_active:
             n_bucket *= 2
         n_bucket = min(n_bucket, self.cfg.block_count)
-        sig = ("points", n_bucket, max_points)
+        sig = ("points", self.cfg, n_bucket, max_points)
         if sig in _DEVICE_EXTRACT_FAILED:
             raise RuntimeError("device extraction previously failed at this size")
         try:
@@ -1179,8 +1195,8 @@ class TSDFVolume:
                 self.cfg, self.state, jnp.float32(weight_threshold),
                 n_bucket, max_points,
             )
-        except Exception:
-            _DEVICE_EXTRACT_FAILED.add(sig)
+        except Exception as e:
+            _cache_extract_failure(sig, e)
             raise
         c = fetch_int(count)
         if c > max_points:

@@ -177,8 +177,12 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data",
         n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
 
         def tile_body(t, acc):
+            # `t` may exceed n_tiles-1 (group padding); clamp only the slice
+            # start — the guard uses the RAW index so a padded revisit of the
+            # last tile is a no-op when the chunk saturates capacity.
             sums, cnts = acc
-            slots = jax.lax.dynamic_slice(active_slots, (t * TM,), (TM,))
+            t_clamped = jnp.minimum(t, n_tiles - 1)
+            slots = jax.lax.dynamic_slice(active_slots, (t_clamped * TM,), (TM,))
             slot_ok = (slots < cap) & (t < n_tiles_dyn)
             bc = block_coords[jnp.minimum(slots, cap)]
             tile_keys = _block_keys(bc, G)
@@ -239,8 +243,7 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data",
         def tile_step(c):
             g, acc = c
             for k in range(group):
-                acc = tile_body(
-                    jnp.minimum(g * group + k, n_tiles - 1), acc)
+                acc = tile_body(g * group + k, acc)
             return (g + 1, acc)
 
         _, (sums, cnts) = jax.lax.while_loop(

@@ -31,7 +31,8 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < src.stat().st_mtime:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(_SO_PATH), "-lz"],
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", str(src),
+                 "-o", str(_SO_PATH), "-lz"],
                 check=True,
                 capture_output=True,
             )

@@ -290,6 +290,40 @@ class TestPartialTiles:
         assert len(dev) == len(host)
 
 
+def test_grouped_tile_loop_saturated_chunk_matches_static():
+    """Regression (ADVICE r2, high): when the chunk saturates capacity
+    (n_tiles_dyn == n_tiles) and n_tiles is not a multiple of _TILE_GROUP,
+    the group-padded tile indices used to clamp onto the last tile BEFORE
+    the slot_ok guard, double-integrating its observations."""
+    base = dict(
+        voxel_size=0.05,
+        block_resolution=16,
+        block_count=2048,
+        grid_dim=16,
+        chunk_active_capacity=12,  # saturated by the frame below
+        integrate_tile=2,  # n_tiles = 6, not divisible by _TILE_GROUP=4
+    )
+    H = W = 64
+    depth = np.full((1, H, W), 1.0, np.float32)
+    K = np.array([[[60.0, 0, 32.0], [0, 60.0, 32.0], [0, 0, 1]]], np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+
+    vols = {}
+    for loop in ("grouped", "static"):
+        v = TSDFVolume(TSDFConfig(tile_loop=loop, **base))
+        v.integrate(depth, K, T)
+        vols[loop] = v
+    g, s = vols["grouped"], vols["static"]
+    assert int(g.n_active) == int(s.n_active)
+    n = int(g.n_active)
+    np.testing.assert_array_equal(
+        np.asarray(g.state.weight[:n]), np.asarray(s.state.weight[:n])
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.state.tsdf[:n]), np.asarray(s.state.tsdf[:n]), atol=1e-6
+    )
+
+
 def test_dropped_active_counter():
     """Chunks touching more than chunk_active_capacity blocks must count the
     skipped integrations instead of silently dropping observations."""
