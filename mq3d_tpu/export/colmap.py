@@ -251,6 +251,91 @@ def write_points3D_text(points3D: Dict[int, Point3D], path: Path):
             f.write(f"{pt.id} {xyz} {rgb} {pt.error} {track}\n")
 
 
+# ---------------------------------------------------------------------------
+# text readers
+# ---------------------------------------------------------------------------
+
+def _data_lines(path: Path):
+    """Yield non-comment, non-empty lines (COLMAP text files use '#')."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line
+
+
+def read_cameras_text(path: Path) -> Dict[int, Camera]:
+    cameras = {}
+    for line in _data_lines(path):
+        parts = line.split()
+        cam_id = int(parts[0])
+        model = parts[1]
+        width, height = int(parts[2]), int(parts[3])
+        params = np.asarray([float(p) for p in parts[4:]], np.float64)
+        assert len(params) == CAMERA_MODEL_IDS[model][1], (model, len(params))
+        cameras[cam_id] = Camera(cam_id, model, width, height, params)
+    return cameras
+
+
+def read_images_text(path: Path) -> Dict[int, Image]:
+    """Two data lines per image: pose line, then the (possibly empty)
+    POINTS2D line — which is why this is not a simple per-line loop."""
+    images = {}
+    lines = list(_data_lines_with_blanks(path))
+    i = 0
+    while i < len(lines):
+        parts = lines[i].split()
+        image_id = int(parts[0])
+        qvec = np.asarray([float(v) for v in parts[1:5]])
+        tvec = np.asarray([float(v) for v in parts[5:8]])
+        camera_id = int(parts[8])
+        name = " ".join(parts[9:])
+        elems = lines[i + 1].split() if i + 1 < len(lines) else []
+        xys = np.asarray(
+            [(float(elems[k]), float(elems[k + 1])) for k in range(0, len(elems), 3)]
+        ).reshape(-1, 2)
+        ids = np.asarray(
+            [int(elems[k + 2]) for k in range(0, len(elems), 3)], np.int64
+        )
+        images[image_id] = Image(image_id, qvec, tvec, camera_id, name, xys, ids)
+        i += 2
+    return images
+
+
+def _data_lines_with_blanks(path: Path):
+    """Like _data_lines but keeps empty data lines — an image with zero
+    2D points writes an empty POINTS2D line that must still be consumed."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith("#"):
+                continue
+            out.append(s)
+    # Trailing newline at EOF produces one spurious empty entry; drop
+    # trailing blanks only (interior blanks are empty POINTS2D lines).
+    while out and not out[-1] and len(out) % 2:
+        out.pop()
+    return out
+
+
+def read_points3D_text(path: Path) -> Dict[int, Point3D]:
+    points = {}
+    for line in _data_lines(path):
+        parts = line.split()
+        pid = int(parts[0])
+        xyz = np.asarray([float(v) for v in parts[1:4]])
+        rgb = np.asarray([int(v) for v in parts[4:7]], np.uint8)
+        error = float(parts[7])
+        track = parts[8:]
+        img_ids = np.asarray([int(track[k]) for k in range(0, len(track), 2)],
+                             np.int64)
+        p2d = np.asarray([int(track[k + 1]) for k in range(0, len(track), 2)],
+                         np.int64)
+        points[pid] = Point3D(pid, xyz, rgb, error, img_ids, p2d)
+    return points
+
+
 def write_model(
     cameras: Dict[int, Camera],
     images: Dict[int, Image],
@@ -271,12 +356,21 @@ def write_model(
     return path
 
 
-def read_model(path: Path, ext: str = ".bin"):
+def read_model(path: Path, ext: str | None = None):
+    """Read a COLMAP model directory.  ext=None autodetects: binary when
+    cameras.bin exists, else text (matches the reference's detect-order,
+    reference: scripts/third_party/colmap/read_and_write_model.py:508-528)."""
     path = Path(path)
-    if ext != ".bin":
-        raise NotImplementedError("text model reading not needed yet")
+    if ext is None:
+        ext = ".bin" if (path / "cameras.bin").exists() else ".txt"
+    if ext == ".bin":
+        return (
+            read_cameras_binary(path / "cameras.bin"),
+            read_images_binary(path / "images.bin"),
+            read_points3D_binary(path / "points3D.bin"),
+        )
     return (
-        read_cameras_binary(path / "cameras.bin"),
-        read_images_binary(path / "images.bin"),
-        read_points3D_binary(path / "points3D.bin"),
+        read_cameras_text(path / "cameras.txt"),
+        read_images_text(path / "images.txt"),
+        read_points3D_text(path / "points3D.txt"),
     )

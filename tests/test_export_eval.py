@@ -57,6 +57,68 @@ class TestColmap:
         np.testing.assert_array_equal(p2[1].rgb, points[1].rgb)
         np.testing.assert_array_equal(p2[1].image_ids, points[1].image_ids)
 
+    def _example_model(self, rng):
+        cameras = {
+            1: Camera(1, "PINHOLE", 640, 480, np.array([500.0, 500.5, 320.25, 240.0])),
+            3: Camera(3, "OPENCV", 1280, 960, rng.normal(size=8)),
+        }
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        images = {
+            1: Image(1, q, rng.normal(size=3), 1, "LEFT_123.png"),
+            2: Image(
+                2, np.array([1.0, 0, 0, 0]), np.zeros(3), 3, "name with space.png",
+                xys=rng.random((3, 2)), point3D_ids=np.array([7, 2, -1]),
+            ),
+        }
+        points = {
+            7: Point3D(7, rng.normal(size=3), np.array([255, 0, 10], np.uint8),
+                       0.5, np.array([1, 2]), np.array([0, 1])),
+            2: Point3D(2, rng.normal(size=3), np.array([0, 128, 255], np.uint8)),
+        }
+        return cameras, images, points
+
+    def _assert_models_equal(self, a, b):
+        ca, ia, pa = a
+        cb, ib, pb = b
+        assert set(ca) == set(cb) and set(ia) == set(ib) and set(pa) == set(pb)
+        for k in ca:
+            assert ca[k].model == cb[k].model
+            assert (ca[k].width, ca[k].height) == (cb[k].width, cb[k].height)
+            np.testing.assert_allclose(cb[k].params, ca[k].params)
+        for k in ia:
+            np.testing.assert_allclose(ib[k].qvec, ia[k].qvec)
+            np.testing.assert_allclose(ib[k].tvec, ia[k].tvec)
+            assert ib[k].name == ia[k].name
+            assert ib[k].camera_id == ia[k].camera_id
+            np.testing.assert_allclose(
+                np.asarray(ib[k].xys, float).reshape(-1, 2),
+                np.asarray(ia[k].xys, float).reshape(-1, 2),
+            )
+            np.testing.assert_array_equal(ib[k].point3D_ids, ia[k].point3D_ids)
+        for k in pa:
+            np.testing.assert_allclose(pb[k].xyz, pa[k].xyz)
+            np.testing.assert_array_equal(pb[k].rgb, pa[k].rgb)
+            assert pb[k].error == pa[k].error
+            np.testing.assert_array_equal(pb[k].image_ids, pa[k].image_ids)
+            np.testing.assert_array_equal(pb[k].point2D_idxs, pa[k].point2D_idxs)
+
+    def test_text_roundtrip(self, rng, tmp_path):
+        """Text write -> text read is exact (repr() float serialization)."""
+        model = self._example_model(rng)
+        write_model(*model, tmp_path, ext=".txt")
+        self._assert_models_equal(model, read_model(tmp_path, ext=".txt"))
+
+    def test_text_binary_cross_roundtrip(self, rng, tmp_path):
+        """text -> read -> binary -> read gives the same model, and
+        autodetection picks the right format."""
+        model = self._example_model(rng)
+        write_model(*model, tmp_path / "t", ext=".txt")
+        got_txt = read_model(tmp_path / "t")  # autodetect text
+        write_model(*got_txt, tmp_path / "b", ext=".bin")
+        got_bin = read_model(tmp_path / "b")  # autodetect binary
+        self._assert_models_equal(model, got_bin)
+
     def test_qvec_rotmat_consistency(self, rng):
         from scipy.spatial.transform import Rotation as R
 
