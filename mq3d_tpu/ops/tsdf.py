@@ -135,8 +135,16 @@ def integrate_chunk(
     intrinsics: jnp.ndarray,  # (C, 3, 3) float32 (cx already mirror-flipped)
     extrinsics_wc: jnp.ndarray,  # (C, 4, 4) float32 world-to-camera
     frame_valid: jnp.ndarray,  # (C,) bool
+    block_skip=0,  # () int32: skip the first `block_skip` touched blocks
 ) -> TSDFState:
-    """Fuse a chunk of depth frames into the volume in one launch."""
+    """Fuse a chunk of depth frames into the volume in one launch.
+
+    `block_skip` selects the capacity window of touched blocks to
+    integrate: blocks with compaction rank in (skip, skip + capacity].
+    Each block's update is independent of the others (it folds the whole
+    frame loop in one pass), so windowed passes over disjoint block ranges
+    compose BIT-identically to one unbounded pass — this is what
+    TSDFVolume.integrate's auto-split overflow retry relies on."""
     C, H, W = depth.shape
     G = cfg.grid_dim
     R = cfg.block_resolution
@@ -208,15 +216,17 @@ def integrate_chunk(
     n_active = jnp.minimum(state.n_active + total_new, cap)
     overflow = state.overflow + jnp.maximum(state.n_active + total_new - cap, 0)
 
-    # ---- Chunk active block list (fixed capacity) ---------------------------
+    # ---- Chunk active block list (fixed capacity window) --------------------
     M = cfg.chunk_active_capacity
+    skip = jnp.asarray(block_skip, jnp.int32)
     active_mask = (touched > 0) & (slot_table >= 0)
     rank2 = jnp.cumsum(active_mask.astype(jnp.int32))
-    list_idx = jnp.where(active_mask & (rank2 <= M), rank2 - 1, M)
+    in_window = active_mask & (rank2 > skip) & (rank2 <= skip + M)
+    list_idx = jnp.where(in_window, rank2 - 1 - skip, M)
     active_slots = (
         jnp.full((M + 1,), cap, dtype=jnp.int32).at[list_idx].set(slot_table, mode="drop")
     )[:M]
-    dropped_active = state.dropped_active + jnp.maximum(rank2[-1] - M, 0)
+    dropped_active = state.dropped_active + jnp.maximum(rank2[-1] - skip - M, 0)
 
     # ---- Phase B: gather -> integrate -> scatter, tiled over blocks ---------
     voxel_offs = jnp.asarray(_voxel_offsets(R))  # (R^3, 3)
@@ -227,7 +237,7 @@ def integrate_chunk(
     TM = cfg.integrate_tile
     n_tiles = (M + TM - 1) // TM
 
-    n_act_chunk = jnp.minimum(rank2[-1], M)
+    n_act_chunk = jnp.clip(rank2[-1] - skip, 0, M)
     n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
 
     def tile_body(t, carry):
@@ -722,22 +732,63 @@ class TSDFVolume:
         # would return stale data.
         self._state = value
         self._state_version += 1
+        # Host mirror of state.dropped_active, maintained by integrate()'s
+        # auto-split loop; None = unknown (externally assigned state).
+        self._dropped_host = None
 
     # -- integration ------------------------------------------------------------
 
-    def integrate(self, depth, intrinsics, extrinsics_wc, frame_valid=None):
-        """Fuse a (C, H, W) chunk. Arrays are host numpy or jax."""
+    def integrate(self, depth, intrinsics, extrinsics_wc, frame_valid=None,
+                  auto_split=True):
+        """Fuse a (C, H, W) chunk. Arrays are host numpy or jax.
+
+        auto_split=True (default): when the chunk touches more blocks than
+        cfg.chunk_active_capacity, re-run the chunk over the next capacity
+        window(s) of blocks until every touched block is integrated — the
+        windows are disjoint block sets, so the result is bit-identical to
+        a single unbounded pass and no observations are dropped.  Costs one
+        scalar device fetch per chunk (a sync point); pass auto_split=False
+        on throughput-critical paths that tolerate drops or guarantee
+        under-capacity chunks."""
         c = depth.shape[0]
         if frame_valid is None:
             frame_valid = np.ones(c, dtype=bool)
-        self.state = integrate_chunk(
-            self.cfg,
-            self.state,
+        args = (
             jnp.asarray(depth, jnp.float32),
             jnp.asarray(intrinsics, jnp.float32),
             jnp.asarray(extrinsics_wc, jnp.float32),
             jnp.asarray(frame_valid),
         )
+        if not auto_split:
+            self.state = integrate_chunk(
+                self.cfg, self.state, *args, jnp.int32(0)
+            )
+            return self
+
+        d_before = (
+            self._dropped_host
+            if self._dropped_host is not None
+            else fetch_int(self.state.dropped_active)
+        )
+        state = integrate_chunk(self.cfg, self.state, *args, jnp.int32(0))
+        d_prev, skip = d_before, 0
+        while True:
+            d_now = fetch_int(state.dropped_active)
+            if d_now == d_prev:
+                break
+            skip += self.cfg.chunk_active_capacity
+            state = integrate_chunk(
+                self.cfg, state, *args, jnp.int32(skip)
+            )
+            d_prev = d_now
+        if d_prev != d_before:
+            # The retry passes drained every window: the per-pass remainder
+            # increments were bookkeeping, not lost observations.
+            state = state._replace(
+                dropped_active=jnp.asarray(d_before, jnp.int32)
+            )
+        self.state = state
+        self._dropped_host = d_before
         return self
 
     @property

@@ -324,22 +324,80 @@ def test_grouped_tile_loop_saturated_chunk_matches_static():
     )
 
 
-def test_dropped_active_counter():
-    """Chunks touching more than chunk_active_capacity blocks must count the
-    skipped integrations instead of silently dropping observations."""
-    cfg = TSDFConfig(
-        voxel_size=0.05,
-        block_resolution=16,
-        block_count=2048,
-        grid_dim=16,
-        chunk_active_capacity=4,  # absurdly small to force the drop
-        integrate_tile=4,
-    )
-    vol = TSDFVolume(cfg)
+def _overflow_inputs():
     # One frame seeing a wall 1m away fills far more than 4 blocks.
     H = W = 64
     depth = np.full((1, H, W), 1.0, np.float32)
     K = np.array([[[60.0, 0, 32.0], [0, 60.0, 32.0], [0, 0, 1]]], np.float32)
     T = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
-    vol.integrate(depth, K, T)
+    return depth, K, T
+
+
+def _overflow_cfg(**kw):
+    base = dict(
+        voxel_size=0.05,
+        block_resolution=16,
+        block_count=2048,
+        grid_dim=16,
+        chunk_active_capacity=4,  # absurdly small to force the overflow
+        integrate_tile=4,
+    )
+    base.update(kw)
+    return TSDFConfig(**base)
+
+
+def test_dropped_active_counter_without_autosplit():
+    """With auto_split off, chunks touching more than chunk_active_capacity
+    blocks must count the skipped integrations instead of silently dropping
+    observations."""
+    vol = TSDFVolume(_overflow_cfg())
+    depth, K, T = _overflow_inputs()
+    vol.integrate(depth, K, T, auto_split=False)
     assert int(np.asarray(vol.state.dropped_active)) > 0
+
+
+def test_autosplit_overflow_bit_identical():
+    """Auto-split (the default) drains capacity overflow via windowed retry
+    passes: the final state is BIT-identical to integrating with a capacity
+    large enough for the whole chunk, and dropped_active stays 0."""
+    depth, K, T = _overflow_inputs()
+
+    small = TSDFVolume(_overflow_cfg())  # capacity 4, forces several windows
+    small.integrate(depth, K, T)
+    # Second chunk exercises the host-mirror fast path too.
+    small.integrate(depth, K, T)
+
+    big = TSDFVolume(_overflow_cfg(chunk_active_capacity=2048))
+    big.integrate(depth, K, T)
+    big.integrate(depth, K, T)
+
+    assert int(np.asarray(small.state.dropped_active)) == 0
+    assert small.n_active == big.n_active
+    n = small.n_active
+    assert n > 4  # the chunk genuinely overflowed the window
+    np.testing.assert_array_equal(
+        np.asarray(small.state.weight[:n]), np.asarray(big.state.weight[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(small.state.tsdf[:n]), np.asarray(big.state.tsdf[:n])
+    )
+
+
+def test_autosplit_grouped_loop_overflow():
+    """Auto-split composes with the grouped dynamic tile loop (the default
+    pipeline path) even when windows saturate and tile counts are ragged."""
+    depth, K, T = _overflow_inputs()
+    small = TSDFVolume(_overflow_cfg(chunk_active_capacity=6, integrate_tile=2,
+                                     tile_loop="grouped"))
+    small.integrate(depth, K, T)
+    big = TSDFVolume(_overflow_cfg(chunk_active_capacity=2048,
+                                   tile_loop="grouped"))
+    big.integrate(depth, K, T)
+    assert int(np.asarray(small.state.dropped_active)) == 0
+    n = small.n_active
+    np.testing.assert_array_equal(
+        np.asarray(small.state.weight[:n]), np.asarray(big.state.weight[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(small.state.tsdf[:n]), np.asarray(big.state.tsdf[:n])
+    )
