@@ -359,6 +359,72 @@ class TestSamplingFilter:
         assert len(out2.triangles) == 12
 
 
+class TestDeviceComponents:
+    """Device (min-label propagation) vs scipy oracle component labeling."""
+
+    @staticmethod
+    def _grid_mesh(g, n_parts, rng):
+        """n_parts disjoint g x g grid sheets in one vertex buffer, with
+        vertex order shuffled so labels cannot ride index order."""
+        from mq3d_tpu.dataio.ply import TriangleMesh
+
+        verts, tris, off = [], [], 0
+        for p in range(n_parts):
+            xs, ys = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+            v = np.stack(
+                [xs.ravel(), ys.ravel(), np.full(g * g, p * 10.0)], -1
+            ).astype(np.float64)
+            idx = np.arange(g * g).reshape(g, g)
+            a, b, c, d = (
+                idx[:-1, :-1].ravel(), idx[1:, :-1].ravel(),
+                idx[:-1, 1:].ravel(), idx[1:, 1:].ravel(),
+            )
+            t = np.concatenate(
+                [np.stack([a, b, c], -1), np.stack([b, d, c], -1)]
+            )
+            verts.append(v)
+            tris.append(t + off)
+            off += g * g
+        verts = np.concatenate(verts)
+        tris = np.concatenate(tris)
+        perm = rng.permutation(len(verts))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        return TriangleMesh(verts[perm], inv[tris])
+
+    def test_device_matches_scipy(self, rng):
+        from mq3d_tpu.ops.mesh_filter import cluster_connected_triangles
+
+        mesh = self._grid_mesh(17, 4, rng)
+        ld, cd = cluster_connected_triangles(mesh, device=True)
+        lh, ch = cluster_connected_triangles(mesh, device=False)
+        # Same partition (label ids may differ): compare via joint uniqueness.
+        assert len(cd) == len(ch) == 4
+        np.testing.assert_array_equal(np.sort(cd), np.sort(ch))
+        pairs = np.unique(np.stack([ld, lh], -1), axis=0)
+        assert len(pairs) == 4  # bijection between labelings
+
+    def test_million_triangle_grid(self, rng):
+        """VERDICT r2 item 5: device path at >= 1M triangles."""
+        from mq3d_tpu.ops.mesh_filter import cluster_connected_triangles
+
+        mesh = self._grid_mesh(580, 2, rng)  # 2 * 2*579^2 = 1.34M triangles
+        assert len(mesh.triangles) >= 1_000_000
+        labels, counts = cluster_connected_triangles(mesh, device=True)
+        assert len(counts) == 2
+        assert counts[0] == counts[1] == 2 * 579 * 579
+
+    def test_filter_uses_device_path(self, rng):
+        """filter_mesh_components end-to-end on the device labeler."""
+        from mq3d_tpu.ops.mesh_filter import filter_mesh_components
+
+        mesh = self._grid_mesh(9, 3, rng)  # 3 sheets of 128 triangles
+        out = filter_mesh_components(mesh, min_triangle_count=100)
+        assert len(out.triangles) == 3 * 128
+        out2 = filter_mesh_components(mesh, min_triangle_count=200)
+        assert len(out2.triangles) == 128  # keep-largest fallback
+
+
 class TestQualityCLI:
     def test_pair_mode_artifacts(self, tmp_path, rng):
         """--pair mode writes the full scores CSV, pairwise_summary.csv and
