@@ -454,6 +454,105 @@ def get_information_matrix(
     return np.einsum("nri,nrj->ij", G, G)
 
 
+@partial(jax.jit, static_argnames=("capacity",))
+def _info_stats_device(
+    src, n_src, T, target, table, gmin, dims, cell, max_corr, capacity: int
+):
+    """Inlier-masked reductions for the information matrix: (n, Σq, Σqqᵀ).
+
+    Sum Gᵀ G has the closed form [[|q|²I − qqᵀ, skew(q)], [skew(q)ᵀ, I]]
+    summed over target inliers q, so only these three masked reductions
+    are needed — no (N, 3, 6) Jacobian materializes, and the qᵀq matmul
+    is MXU work."""
+    idx, dist = _nn_query(src, T, target, table, gmin, dims, cell, capacity)
+    npts = src.shape[0]
+    inlier = (
+        (dist <= max_corr) & jnp.isfinite(dist) & (jnp.arange(npts) < n_src)
+    )
+    q = target[jnp.maximum(idx, 0)]
+    q = jnp.where(inlier[:, None], q, 0.0)
+    return inlier.sum(), q.sum(axis=0), q.T @ q
+
+
+_info_stats_vmapped = jax.jit(
+    jax.vmap(
+        _info_stats_device,
+        in_axes=(0, 0, 0, None, None, None, None, None, None, None),
+    ),
+    static_argnums=(9,),
+)
+
+
+def _assemble_info(n: float, s: np.ndarray, S: np.ndarray) -> np.ndarray:
+    if n == 0:
+        return np.eye(6)
+    s = np.asarray(s, np.float64)
+    S = np.asarray(S, np.float64)
+    skew_s = np.array(
+        [[0.0, -s[2], s[1]], [s[2], 0.0, -s[0]], [-s[1], s[0], 0.0]]
+    )
+    info = np.zeros((6, 6))
+    info[:3, :3] = np.trace(S) * np.eye(3) - S
+    # Host-oracle G = [skew(q)ᵀ | I], so the off-diagonal blocks are
+    # Σ skew(q) = skew(Σq) up top and its transpose below.
+    info[:3, 3:] = skew_s
+    info[3:, :3] = skew_s.T
+    info[3:, 3:] = float(n) * np.eye(3)
+    return info
+
+
+def get_information_matrix_batch(
+    sources,
+    grid: GridNN,
+    max_correspondence_distance: float,
+    transformations,
+):
+    """Information matrices for many pairs sharing one TARGET grid, in one
+    (chunked) device launch — replaces the per-pair get_information_matrix
+    dispatch loop on the O(F²) scene pose-graph path.  Returns a list of
+    (6, 6) float64 arrays with the same semantics as the single-pair op."""
+    B = len(sources)
+    if B == 0:
+        return []
+    if grid.n_target == 0:
+        return [np.eye(6)] * B
+
+    src_pads = [_pad_src(np.asarray(s, np.float32)) for s in sources]
+    n_pad = max(s.shape[0] for s, _ in src_pads)
+    if n_pad > _VMAP_SRC_PAD_LIMIT:
+        # Same installed-runtime vmap kernel fault as batched ICP: fall
+        # back to per-pair launches above the bisected pad limit.
+        return [
+            get_information_matrix(
+                np.asarray(sources[i], np.float32), None,
+                float(max_correspondence_distance),
+                np.asarray(transformations[i]), grid=grid,
+            )
+            for i in range(B)
+        ]
+
+    src = np.full((B, n_pad, 3), np.inf, np.float32)
+    n_src = np.zeros((B,), np.int32)
+    for j, (sp, n) in enumerate(src_pads):
+        src[j, : sp.shape[0]] = sp
+        n_src[j] = n
+    T = np.stack([np.asarray(t, np.float64) for t in transformations])
+
+    n_in, s_sum, S_sum = _info_stats_vmapped(
+        jnp.asarray(src), jnp.asarray(n_src), jnp.asarray(T),
+        jnp.asarray(grid.target), jnp.asarray(grid.table),
+        jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+        jnp.float32(grid.cell), jnp.float32(max_correspondence_distance),
+        grid.capacity,
+    )
+    n_in = np.asarray(n_in)
+    s_sum = np.asarray(s_sum)
+    S_sum = np.asarray(S_sum)
+    return [
+        _assemble_info(int(n_in[j]), s_sum[j], S_sum[j]) for j in range(B)
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Batched / multi-chip pair ICP
 # ---------------------------------------------------------------------------

@@ -354,25 +354,44 @@ def compute_pcd_pair_edges_batched(
                 last[i] = r
 
     # ---- convergence gate + information matrices ------------------------
-    edges: List[PoseGraphEdge] = []
+    # Info matrices batch per shared-target group like the ICP levels
+    # above: one launch per target instead of one per pair (VERDICT r2
+    # item 7 — the last per-pair device dispatch loop on this path).
+    from mq3d_tpu.ops.icp import get_information_matrix_batch
+
+    kept: List[int] = []
     for i, (s, t, unc) in enumerate(survivors):
         icp = last[i]
         converged = (
             icp.fitness >= config.icp_fitness_threshold
             or icp.inlier_rmse <= config.icp_inlier_rmse_threshold
         )
-        if unc and not converged:
-            continue
-        s_key = node_side_index_list[s]
-        t_key = node_side_index_list[t]
-        info = get_information_matrix(
-            cache.get_points(s_key), cache.get_points(t_key),
-            config.max_corr_dists[-1], icp.transformation,
-            grid=cache.get_full_grid(t_key),
+        if not (unc and not converged):
+            kept.append(i)
+
+    info_by_pair: dict = {}
+    by_target: dict = {}
+    for i in kept:
+        by_target.setdefault(survivors[i][1], []).append(i)
+    for t_n, idxs in by_target.items():
+        t_key = node_side_index_list[t_n]
+        infos = get_information_matrix_batch(
+            [cache.get_points(node_side_index_list[survivors[i][0]])
+             for i in idxs],
+            cache.get_full_grid(t_key),
+            config.max_corr_dists[-1],
+            [last[i].transformation for i in idxs],
         )
+        for i, info in zip(idxs, infos):
+            info_by_pair[i] = info
+
+    edges: List[PoseGraphEdge] = []
+    for i in kept:
+        s, t, unc = survivors[i]
         edges.append(PoseGraphEdge(
             source_node_id=s, target_node_id=t,
-            transformation=icp.transformation, information=info,
+            transformation=last[i].transformation,
+            information=info_by_pair[i],
             uncertain=unc,
         ))
     return edges
