@@ -14,6 +14,8 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 SESSION_RE = re.compile(r"^\d{8}_\d{6}$")
 
 
@@ -53,6 +55,12 @@ def main():
                         default=Path(__file__).resolve().parent.parent / "config/pipeline_config.yml")
     parser.add_argument("--reuse-cache", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--n-hosts", type=int, default=None,
+                        help="Shard the session batch over this many hosts "
+                             "(DCN axis); default: jax.distributed topology "
+                             "or single-host")
+    parser.add_argument("--host-id", type=int, default=None,
+                        help="This host's index in [0, n_hosts)")
     args = parser.parse_args()
 
     sessions = discover_project_dirs(args.base_dirs)
@@ -60,6 +68,21 @@ def main():
     if args.dry_run:
         for s in sessions:
             print(f"  would run: {s}")
+        return
+
+    if args.n_hosts is not None or args.host_id is not None:
+        # Multi-host mode: sessions round-robin over hosts, per-session
+        # subprocess isolation kept, status roll-up over DCN when live
+        # (mq3d_tpu/parallel/multihost.py).
+        from mq3d_tpu.parallel.multihost import batch_sessions_multihost
+
+        status = batch_sessions_multihost(
+            sessions, config=args.config,
+            host_id=args.host_id, n_hosts=args.n_hosts,
+            reuse_cache=args.reuse_cache,
+        )
+        if (status == 0).any():
+            sys.exit(1)
         return
 
     failures = []

@@ -266,3 +266,54 @@ class TestShardedColorGN:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-6, atol=1e-8)
+
+
+class TestMultihostBatch:
+    def test_assignment_partition(self):
+        from mq3d_tpu.parallel.multihost import assign_sessions
+
+        all_idx = sorted(
+            i for h in range(3) for i in assign_sessions(10, 3, h)
+        )
+        assert all_idx == list(range(10))  # disjoint + complete
+
+    def test_single_host_batch_rollup(self, tmp_path):
+        """batch_sessions_multihost with a stub runner: failure isolation
+        + status vector semantics."""
+        from mq3d_tpu.parallel.multihost import batch_sessions_multihost
+
+        dirs = [tmp_path / f"2025010{i}_120000" for i in range(4)]
+        for d in dirs:
+            d.mkdir()
+
+        def runner(session):
+            if session.name.endswith("2_120000"):
+                raise RuntimeError("boom")  # isolated, not fatal
+            return not session.name.endswith("1_120000")
+
+        status = batch_sessions_multihost(dirs, runner=runner,
+                                          host_id=0, n_hosts=1)
+        np.testing.assert_array_equal(status, [1, 0, 0, 1])
+
+    def test_sharded_host_sees_only_its_shard(self, tmp_path):
+        from mq3d_tpu.parallel.multihost import batch_sessions_multihost
+
+        dirs = [tmp_path / f"2025010{i}_120000" for i in range(5)]
+        for d in dirs:
+            d.mkdir()
+        ran = []
+        status = batch_sessions_multihost(
+            dirs, runner=lambda s: ran.append(s.name) or True,
+            host_id=1, n_hosts=2,
+        )
+        assert [n[7] for n in ran] == ["1", "3"]  # strided shard
+        # No DCN transport in-process: remote sessions stay unknown.
+        np.testing.assert_array_equal(status, [-1, 1, -1, 1, -1])
+
+    def test_dryrun_on_virtual_mesh(self):
+        from mq3d_tpu.parallel.multihost import dryrun_batch_multihost
+
+        merged = dryrun_batch_multihost(8, n_sessions=11)
+        expect = np.ones(11, np.int32)
+        expect[1] = 0
+        np.testing.assert_array_equal(merged, expect)
