@@ -15,11 +15,14 @@ metrics on the same volume/process:
 
 vs_baseline compares against the reference pipeline's CPU Open3D
 VoxelBlockGrid.integrate path.  The reference publishes no numbers
-(BASELINE.md) and Open3D is not installed in this image, so the constant
-below is a deliberately reference-favorable estimate: a single-thread numpy
-transcription of the allocate-then-integrate loop measures 1.7 frames/s on
-this host (579 ms/frame, same workload); Open3D's C++ kernels are assumed
-~7x faster than numpy -> 12 frames/s.
+(BASELINE.md) and Open3D is not installable in this image, so the baseline
+is MEASURED from native/ref_tsdf_cpu.cpp — a well-optimized C++
+transcription of the same allocate-then-integrate loop, semantically
+parity-checked against ops/tsdf.py (<0.01% observation-count divergence;
+tools/bench_reference_cpu.py --parity) — on this host's single core:
+19.3 frames/s on the identical workload.  The constant below multiplies
+that by a reference-favorable 16 cores x 0.8 parallel efficiency for the
+user-workstation bound (Open3D's TBB integrate scales near-linearly).
 """
 
 import json
@@ -29,7 +32,9 @@ import time
 
 import numpy as np
 
-BASELINE_FRAMES_PER_SEC = 12.0  # est. Open3D CPU integrate (module docstring)
+# Measured 19.26 f/s single-core C++ x 16 cores x 0.8 efficiency
+# (tools/bench_reference_cpu.py, 2026-08-17; derivation in BASELINE.md).
+BASELINE_FRAMES_PER_SEC = 246.6
 BASELINE_RAYCAST_MS = 200.0  # Embree CPU ~0.2 s/frame at 1280x960
 
 N_FRAMES = 1000

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Persistent TPU job worker for interactive perf work on the tunneled chip.
+
+The axon tunnel imposes a ~10-15 min cooldown on every fresh process's
+first device contact, so iterative kernel experiments are driven through
+ONE long-lived process: drop a python file into /tmp/tpu_jobs/NN.py and the
+worker execs it in a shared namespace (state like built volumes persists
+between jobs), writing stdout+stderr+traceback to NN.out.  Edited repo
+modules can be importlib.reload-ed inside a job.
+
+Usage: nohup python -u tools/tpu_worker.py > /tmp/tpu_worker.log 2>&1 &
+"""
+
+import contextlib
+import io
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+JOBS = Path("/tmp/tpu_jobs")
+JOBS.mkdir(exist_ok=True)
+
+
+def main():
+    ns: dict = {}
+    print("[worker] connecting to device ...", flush=True)
+    import jax
+
+    print(f"[worker] ready: {jax.devices()}", flush=True)
+    while True:
+        for f in sorted(JOBS.glob("*.py")):
+            out = f.with_suffix(".out")
+            code = f.read_text()
+            f.unlink()
+            print(f"[worker] running {f.name}", flush=True)
+            buf = io.StringIO()
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(buf), \
+                    contextlib.redirect_stderr(buf):
+                try:
+                    exec(compile(code, f.name, "exec"), ns)
+                except BaseException:
+                    traceback.print_exc()
+            out.write_text(
+                buf.getvalue()
+                + f"\n[job done in {time.perf_counter() - t0:.1f}s]\n"
+            )
+            print(f"[worker] {f.name} done", flush=True)
+        time.sleep(0.5)
+
+
+if __name__ == "__main__":
+    main()
