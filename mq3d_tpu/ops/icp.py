@@ -519,35 +519,37 @@ def get_information_matrix_batch(
 
     src_pads = [_pad_src(np.asarray(s, np.float32)) for s in sources]
     n_pad = max(s.shape[0] for s, _ in src_pads)
-    if n_pad > _VMAP_SRC_PAD_LIMIT:
-        # Same installed-runtime vmap kernel fault as batched ICP: fall
-        # back to per-pair launches above the bisected pad limit.
-        return [
-            get_information_matrix(
-                np.asarray(sources[i], np.float32), None,
-                float(max_correspondence_distance),
-                np.asarray(transformations[i]), grid=grid,
-            )
-            for i in range(B)
-        ]
+    # Above the vmap per-lane width limit (see _VMAP_SRC_PAD_LIMIT), each
+    # source splits into tiles that become extra batch entries — the info
+    # moments are plain sums, so per-pair results are the sum over its
+    # tiles' results.
+    n_tiles = max((n_pad + _VMAP_SRC_PAD_LIMIT - 1)
+                  // _VMAP_SRC_PAD_LIMIT, 1)
+    width = min(n_pad, _VMAP_SRC_PAD_LIMIT)
 
-    src = np.full((B, n_pad, 3), np.inf, np.float32)
+    src = np.full((B, n_tiles * width, 3), np.inf, np.float32)
     n_src = np.zeros((B,), np.int32)
     for j, (sp, n) in enumerate(src_pads):
         src[j, : sp.shape[0]] = sp
         n_src[j] = n
     T = np.stack([np.asarray(t, np.float64) for t in transformations])
 
+    # Tile view: (B*n_tiles, width, 3) with per-tile n_src offsets.
+    src_t = src.reshape(B * n_tiles, width, 3)
+    bases = np.tile(np.arange(n_tiles, dtype=np.int32) * width, B)
+    n_src_t = np.clip(np.repeat(n_src, n_tiles) - bases, 0, width)
+    T_t = np.repeat(T, n_tiles, axis=0)
+
     n_in, s_sum, S_sum = _info_stats_vmapped(
-        jnp.asarray(src), jnp.asarray(n_src), jnp.asarray(T),
+        jnp.asarray(src_t), jnp.asarray(n_src_t), jnp.asarray(T_t),
         jnp.asarray(grid.target), jnp.asarray(grid.table),
         jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
         jnp.float32(grid.cell), jnp.float32(max_correspondence_distance),
         grid.capacity,
     )
-    n_in = np.asarray(n_in)
-    s_sum = np.asarray(s_sum)
-    S_sum = np.asarray(S_sum)
+    n_in = np.asarray(n_in).reshape(B, n_tiles).sum(1)
+    s_sum = np.asarray(s_sum).reshape(B, n_tiles, 3).sum(1)
+    S_sum = np.asarray(S_sum).reshape(B, n_tiles, 3, 3).sum(1)
     return [
         _assemble_info(int(n_in[j]), s_sum[j], S_sum[j]) for j in range(B)
     ]
@@ -688,8 +690,113 @@ _icp_level_vmapped_shared = jax.jit(
 )
 
 # Largest source pad the vmapped shared-grid executable survives on the
-# installed TPU runtime (see registration_icp_batch_shared).
+# installed TPU runtime: bisected to [131072 ok, 262144 kernel-faults the
+# worker] at any batch size — the per-LANE width is what trips it, not
+# the batch.  Above the limit the batched path runs _icp_level_device_
+# tiled, whose per-lane shapes stay at the tile size (a lax.scan over
+# source tiles accumulates the same correspondence moments), so
+# production-size pair refinement stays batched instead of falling back
+# to one launch per pair.
 _VMAP_SRC_PAD_LIMIT = 131072
+
+
+@partial(jax.jit, static_argnames=("capacity", "max_iteration"))
+def _icp_level_device_tiled(
+    src_tiles,  # (n_tiles, TILE, 3) f32, inf-padded
+    n_src, target, table, gmin, dims, cell, max_corr, T0,
+    relative_fitness, relative_rmse,
+    capacity: int, max_iteration: int,
+):
+    """_icp_level_device with the source axis tiled: every array op inside
+    the while_loop is (TILE,)-shaped, the scan accumulates the five
+    correspondence moments across tiles.  Numerically the same Kabsch
+    update (summation order differs across tiles; fitness/rmse agree to
+    f32 rounding)."""
+    n_tiles, TILE, _ = src_tiles.shape
+
+    def corr_stats(T):
+        Tf = T.astype(jnp.float32)
+
+        def tile(carry, args):
+            src_t, base = args
+            idx, dist = _nn_query(src_t, T, target, table, gmin, dims,
+                                  cell, capacity)
+            in_src = (jnp.arange(TILE) + base) < n_src
+            inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
+            p = src_t @ Tf[:3, :3].T + Tf[:3, 3]
+            q = target[jnp.maximum(idx, 0)]
+            p = jnp.where(inlier[:, None], p, 0.0)
+            q = jnp.where(inlier[:, None], q, 0.0)
+            n_in, sse, sum_p, sum_q, outer = carry
+            # Explicit casts: x64 is enabled package-wide, so bare sums
+            # would widen and break the scan carry typing.
+            return (
+                n_in + jnp.sum(inlier).astype(jnp.int32),
+                sse + jnp.sum(jnp.where(inlier, dist ** 2, 0.0))
+                .astype(jnp.float32),
+                sum_p + jnp.sum(p, 0).astype(jnp.float32),
+                sum_q + jnp.sum(q, 0).astype(jnp.float32),
+                outer + (p.T @ q).astype(jnp.float32),
+            ), None
+
+        z3 = jnp.zeros((3,), jnp.float32)
+        init = (jnp.int32(0), jnp.float32(0.0), z3, z3,
+                jnp.zeros((3, 3), jnp.float32))
+        bases = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
+        out, _ = jax.lax.scan(tile, init, (src_tiles, bases))
+        return out
+
+    def cond(carry):
+        T, prev_f, prev_r, it, done = carry
+        return (~done) & (it < max_iteration)
+
+    def body(carry):
+        T, prev_f, prev_r, it, _ = carry
+        n_in, sse, sum_p, sum_q, outer = corr_stats(T)
+        nf = jnp.maximum(n_in, 1).astype(jnp.float32)
+        fitness = (n_in / jnp.maximum(n_src, 1)).astype(jnp.float32)
+        rmse = jnp.sqrt(sse / nf).astype(jnp.float32)
+
+        cp = sum_p / nf
+        cq = sum_q / nf
+        H = outer / nf - jnp.outer(cp, cq)
+        R = _horn_rotation(H.astype(jnp.float64)).astype(jnp.float64)
+        t = cq.astype(jnp.float64) - R @ cp.astype(jnp.float64)
+        delta = jnp.eye(4, dtype=jnp.float64).at[:3, :3].set(R).at[:3, 3].set(t)
+        T_new = jnp.where(n_in >= 3, delta @ T, T)
+
+        converged = (
+            (it > 0)
+            & (jnp.abs(fitness - prev_f) < relative_fitness)
+            & (jnp.abs(rmse - prev_r) < relative_rmse)
+        )
+        done = converged | (n_in < 3)
+        return (T_new, fitness, rmse, it + 1, done)
+
+    init = (
+        T0.astype(jnp.float64),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    T, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    n_in, sse, _, _, _ = corr_stats(T)
+    fitness = (n_in / jnp.maximum(n_src, 1)).astype(jnp.float32)
+    rmse = jnp.sqrt(
+        sse / jnp.maximum(n_in, 1).astype(jnp.float32)
+    ).astype(jnp.float32)
+    return T, fitness, rmse, n_in
+
+
+_icp_level_vmapped_shared_tiled = jax.jit(
+    jax.vmap(
+        _icp_level_device_tiled,
+        in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, None,
+                 None),
+    ),
+    static_argnums=(11, 12),
+)
 
 
 def registration_icp_batch_shared(
@@ -718,21 +825,13 @@ def registration_icp_batch_shared(
     src_pads = [_pad_src(np.asarray(s, np.float32)) for s in sources]
     n_pad = max(s.shape[0] for s, _ in src_pads)
 
-    # The vmapped ICP executable crashes the TPU worker ("kernel fault")
-    # for source pads >= 262144 on the installed runtime (bisected:
-    # 131072 is fine at any batch size, 262144 dies even at B=2).  Above
-    # the limit, run pairs through the unbatched single-pair executable,
-    # which is stable at every size.
-    if n_pad > _VMAP_SRC_PAD_LIMIT:
-        out = []
-        grid_np = grid
-        for i in range(B):
-            out.append(registration_icp(
-                np.asarray(sources[i], np.float32),
-                None,  # target unused when grid given
-                float(max_corrs[i]), init=inits[i], criteria=criteria[i],
-                grid=grid_np))
-        return out
+    # Above the vmap per-lane width limit (see _VMAP_SRC_PAD_LIMIT), the
+    # batched path switches to the source-tiled executable: same Kabsch
+    # loop, per-lane shapes held at the tile size by a scan over tiles.
+    tiled = n_pad > _VMAP_SRC_PAD_LIMIT
+    if tiled:
+        n_pad = ((n_pad + _VMAP_SRC_PAD_LIMIT - 1)
+                 // _VMAP_SRC_PAD_LIMIT) * _VMAP_SRC_PAD_LIMIT
 
     per_src_bytes = n_pad * 3 * 4
     chunk = max(int(max_stack_bytes // max(per_src_bytes, 1)), 1)
@@ -763,8 +862,15 @@ def registration_icp_batch_shared(
         mc = np.asarray([max_corrs[i] for i in idxs], np.float32)
         max_iter = max(int(criteria[i].max_iteration) for i in idxs)
 
-        T, fitness, rmse, n_in = _icp_level_vmapped_shared(
-            jnp.asarray(src), jnp.asarray(n_src), tgt, table, gmin, dims,
+        if tiled:
+            src_in = src.reshape(bs, n_pad // _VMAP_SRC_PAD_LIMIT,
+                                 _VMAP_SRC_PAD_LIMIT, 3)
+            runner = _icp_level_vmapped_shared_tiled
+        else:
+            src_in = src
+            runner = _icp_level_vmapped_shared
+        T, fitness, rmse, n_in = runner(
+            jnp.asarray(src_in), jnp.asarray(n_src), tgt, table, gmin, dims,
             jnp.float32(grid.cell), jnp.asarray(mc), jnp.asarray(T0),
             jnp.asarray(rel_f), jnp.asarray(rel_r),
             grid.capacity, max_iter)
