@@ -110,30 +110,45 @@ def bench_integrate(cfg_t, depth, K, T_wc, valid):
 
 
 def bench_raycast(cfg_t, state, gt, scene_cfg):
-    """Batch z-depth render at the color-camera resolution on the volume
-    just integrated; returns ms/frame."""
-    from mq3d_tpu.ops.raycast import raycast_depth_batch
+    """Streaming z-depth render at the color-camera resolution on the volume
+    just integrated — the color-aligned-depth workload (reference casts rays
+    per frame through Embree and consumes the map on host,
+    o3d_utils.py:324-341).  Measures the production generator
+    (`raycast_in_color_view`), which overlaps each batch's device compute
+    with the previous batch's host readback.  Returns ms/frame."""
+    from mq3d_tpu.models.datasets import CameraDataset
+    from mq3d_tpu.ops.raycast import raycast_in_color_view
     from mq3d_tpu.ops.tsdf import TSDFVolume
     from mq3d_tpu.testing.synthetic import intrinsics_from_cfg
 
     vol = TSDFVolume(cfg_t, state)
     fx, fy, cx, cy = intrinsics_from_cfg(scene_cfg, W_C, H_C)
-    K = np.tile(np.eye(3, dtype=np.float32), (RAYCAST_BATCH, 1, 1))
-    K[:, 0, 0], K[:, 1, 1] = fx, fy
-    K[:, 0, 2], K[:, 1, 2] = W_C - cx, cy
-    T_wc = np.linalg.inv(
-        gt.extrinsics_cw[:RAYCAST_BATCH].astype(np.float64))
+
+    def make_ds(n):
+        ones = np.ones(n)
+        return CameraDataset(
+            directory_relative_path="bench",
+            image_file_names=np.array([f"{i}.png" for i in range(n)]),
+            timestamps=np.arange(n, dtype=np.int64),
+            fx=fx * ones, fy=fy * ones, cx=cx * ones, cy=cy * ones,
+            transforms=type(gt)(
+                coordinate_system=gt.coordinate_system,
+                positions=gt.positions[:n],
+                rotations=gt.rotations[:n],
+            ),
+            widths=np.full(n, W_C, np.int64),
+            heights=np.full(n, H_C, np.int64),
+        )
 
     # Warmup (compile + scene prep).
-    d = raycast_depth_batch(vol, K, T_wc, W_C, H_C)
+    d = next(raycast_in_color_view(vol, make_ds(RAYCAST_BATCH)))
     assert np.isfinite(d).mean() > 0.5, "raycast: mostly misses"
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        raycast_depth_batch(vol, K, T_wc, W_C, H_C)
-        times.append((time.perf_counter() - t0) / RAYCAST_BATCH)
-    return float(np.median(times) * 1e3)
+    n_stream = 4 * RAYCAST_BATCH
+    t0 = time.perf_counter()
+    for d in raycast_in_color_view(vol, make_ds(n_stream)):
+        d.ravel()[0]  # touch on host, like the npy save would
+    return float((time.perf_counter() - t0) / n_stream * 1e3)
 
 
 def bench_e2e(tmp="/tmp/bench_e2e"):

@@ -322,7 +322,9 @@ def _ray_dirs(K, Rcw, s, h_l, w_l):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_bucket", "width", "height", "edge_cap"),
+    static_argnames=(
+        "cfg", "n_bucket", "width", "height", "edge_cap", "fine_march_iters"
+    ),
 )
 def _render_frames(
     cfg: TSDFConfig,
@@ -338,6 +340,7 @@ def _render_frames(
     height: int,
     edge_cap: int,
     edge_eps,
+    fine_march_iters: int = 14,
 ):
     """Full coherent pyramid for a batch of frames in ONE launch.
 
@@ -502,7 +505,7 @@ def _render_frames(
         # 14 iters measures equal accuracy to 24 on the analytic room.
         found, ta, tb, va, vb = _march(
             cfg, slot_dist, ext, n_bucket, origins_e, dirs_e, t0_e,
-            t_min, t_hi_e, 14,
+            t_min, t_hi_e, fine_march_iters,
         )
         # Fine levels re-bracket over a window the march already localized
         # to ~a voxel: 3 dense samples + 1 false-position iteration hold
@@ -553,7 +556,7 @@ class _ScenePrep:
 _prep_cache = _ScenePrep()
 
 
-def raycast_depth_batch(
+def _render_frames_device(
     volume: TSDFVolume,
     intrinsics: np.ndarray,  # (F, 3, 3) with cx already mirror-flipped
     extrinsics_wc: np.ndarray,  # (F, 4, 4)
@@ -562,9 +565,12 @@ def raycast_depth_batch(
     t_min: float = 0.05,
     t_max: float | None = None,
     edge_eps: float = 1e-3,
-) -> np.ndarray:
-    """Render (F, H, W) z-depth maps from the TSDF volume in one launch.
-    inf = miss."""
+    fine_march_iters: int = 14,
+):
+    """Dispatch one fused render launch; returns DEVICE arrays
+    ((F, H, W) z-depth, overflow scalar) without blocking.  Callers that
+    stream many batches overlap the next launch with the previous batch's
+    host readback (the tunneled readback is comparable to the compute)."""
     cfg = volume.cfg
     t_max = t_max if t_max is not None else cfg.depth_max * 1.5
     slot_dist, ext, n_bucket = _prep_cache.get(volume)
@@ -578,21 +584,45 @@ def raycast_depth_batch(
     # static cap, not the live count); overflowed pixels keep the dense
     # 1/z-upsampled value, they are not lost.
     edge_cap = max(F * width * height // 16, 4096)
-    z, overflow = _render_frames(
+    return _render_frames(
         cfg, slot_dist, ext, n_bucket,
         jnp.asarray(intrinsics, _F32),
         jnp.asarray(T_cw[:, :3, :3]),
-        jnp.asarray(T_cw[:, :3, 3]),
+        jnp.asarray(np.ascontiguousarray(T_cw[:, :3, 3])),
         jnp.float32(t_min), jnp.float32(t_max),
         width, height, edge_cap, jnp.float32(edge_eps),
+        fine_march_iters=fine_march_iters,
     )
+
+
+def _warn_overflow(overflow) -> None:
     n_over = int(np.asarray(overflow))
     if n_over > 0:
         print(
             f"[Warning] raycast edge budget exceeded by {n_over} px; "
             "they keep interpolated depth"
         )
-    return np.asarray(z)
+
+
+def raycast_depth_batch(
+    volume: TSDFVolume,
+    intrinsics: np.ndarray,  # (F, 3, 3) with cx already mirror-flipped
+    extrinsics_wc: np.ndarray,  # (F, 4, 4)
+    width: int,
+    height: int,
+    t_min: float = 0.05,
+    t_max: float | None = None,
+    edge_eps: float = 1e-3,
+) -> np.ndarray:
+    """Render (F, H, W) z-depth maps from the TSDF volume in one launch.
+    inf = miss."""
+    z, overflow = _render_frames_device(
+        volume, intrinsics, extrinsics_wc, width, height,
+        t_min=t_min, t_max=t_max, edge_eps=edge_eps,
+    )
+    out = np.asarray(z)
+    _warn_overflow(overflow)
+    return out
 
 
 def raycast_depth(
@@ -620,29 +650,50 @@ def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8
     """Generator over per-frame z-depth maps for a camera dataset, matching
     the reference surface (o3d_utils.py:324-341).  Dataset transforms must be
     in the OPEN3D camera frame.  Frames render `frames_per_batch` per device
-    launch (one fused program) and are yielded one by one."""
+    launch (one fused program), with the NEXT batch's launch dispatched
+    before the previous batch is copied to host — JAX dispatch is async, so
+    the device computes batch i+1 while the host drains batch i (readback
+    and compute are comparable under a tunneled chip; overlapping them
+    roughly halves steady-state cost).  Frames are yielded one by one."""
     K = dataset.get_render_intrinsic_matrices()
     T_wc = dataset.transforms.extrinsics_wc
     n = len(dataset)
     widths = np.asarray(dataset.widths)
     heights = np.asarray(dataset.heights)
-    i = 0
-    while i < n:
-        j = i + 1
-        while (
-            j < n
-            and j - i < frames_per_batch
-            and widths[j] == widths[i]
-            and heights[j] == heights[i]
-        ):
-            j += 1
-        batch = raycast_depth_batch(
+
+    def spans():
+        i = 0
+        while i < n:
+            j = i + 1
+            while (
+                j < n
+                and j - i < frames_per_batch
+                and widths[j] == widths[i]
+                and heights[j] == heights[i]
+            ):
+                j += 1
+            yield i, j
+            i = j
+
+    def dispatch(i, j):
+        return _render_frames_device(
             volume,
             np.asarray(K[i:j], np.float32),
             np.asarray(T_wc[i:j], np.float64),
             int(widths[i]),
             int(heights[i]),
         )
-        for k in range(j - i):
+
+    pending = None  # (z device array, overflow device array)
+    for span in spans():
+        prev, pending = pending, dispatch(*span)
+        if prev is not None:
+            batch = np.asarray(prev[0])
+            _warn_overflow(prev[1])
+            for k in range(batch.shape[0]):
+                yield batch[k]
+    if pending is not None:
+        batch = np.asarray(pending[0])
+        _warn_overflow(pending[1])
+        for k in range(batch.shape[0]):
             yield batch[k]
-        i = j
