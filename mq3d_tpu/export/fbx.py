@@ -1,29 +1,25 @@
-"""FBX interop (gated): PLY <-> FBX conversion.
+"""FBX interop: PLY <-> FBX conversion.
 
 The reference uses the commercial Aspose.3D library (reference:
 scripts/utils/convert_ply_to_fbx_aspose.py:26-78, scripts/conversion/
-convert_obj_to_fbx.py:49-500), which is not available here.  We gate on the
-optional `aspose-3d` package and otherwise fall back to writing an ASCII
-FBX 7.x file directly for meshes with vertex colors — sufficient for DCC
-import of the reconstruction output.
+convert_obj_to_fbx.py:49-500) to emit binary FBX.  When the optional
+`aspose-3d` package is present it is used verbatim; otherwise a native
+binary FBX 7.4 writer/reader (export/fbx_binary.py) produces the same
+artifact class, with an ASCII FBX writer kept for debugging/diff use.
 """
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 import numpy as np
 
-from mq3d_tpu.dataio.ply import TriangleMesh, read_ply
+from mq3d_tpu.dataio.ply import TriangleMesh, read_ply, write_ply_mesh
 
 
 def fbx_available() -> bool:
-    try:
-        import aspose.threed  # noqa: F401
-
-        return True
-    except Exception:
-        return True  # ASCII fallback writer is always available
+    return True  # native binary writer is always available
 
 
 def _write_ascii_fbx(mesh: TriangleMesh, path: Path):
@@ -90,25 +86,87 @@ def _write_ascii_fbx(mesh: TriangleMesh, path: Path):
     Path(path).write_text("\n".join(lines))
 
 
-def convert_ply_to_fbx(ply_path: Path, fbx_path: Path):
-    """PLY mesh -> FBX (Aspose when installed, ASCII fallback otherwise)."""
-    try:
-        import aspose.threed as a3d  # pragma: no cover
+def _read_ascii_fbx(path: Path) -> TriangleMesh:
+    """Parse the subset of ASCII FBX that _write_ascii_fbx emits (and the
+    equivalent sections of DCC exports): Vertices / PolygonVertexIndex /
+    LayerElementColor arrays written as `Name: *N { a: v,v,... }`."""
+    text = Path(path).read_text()
 
-        scene = a3d.Scene.from_file(str(ply_path))  # pragma: no cover
-        scene.save(str(fbx_path))  # pragma: no cover
-        return  # pragma: no cover
-    except Exception:
-        pass
+    def grab(name: str):
+        m = re.search(
+            rf"{name}:\s*\*\d+\s*{{\s*a:\s*([^}}]*)}}", text, re.DOTALL
+        )
+        if m is None:
+            return None
+        toks = [t for t in re.split(r"[\s,]+", m.group(1)) if t]
+        return np.array(toks, np.float64)
+
+    verts = grab("Vertices")
+    pvi = grab("PolygonVertexIndex")
+    if verts is None or pvi is None:
+        raise ValueError(f"{path}: no mesh arrays found in ASCII FBX")
+    pvi = pvi.astype(np.int64)
+    tris = []
+    start = 0
+    for e in np.nonzero(pvi < 0)[0]:
+        poly = pvi[start:e + 1].copy()
+        poly[-1] = -poly[-1] - 1
+        for k in range(1, len(poly) - 1):
+            tris.append((poly[0], poly[k], poly[k + 1]))
+        start = e + 1
+    mesh = TriangleMesh(
+        verts.reshape(-1, 3), np.asarray(tris, np.int64).reshape(-1, 3)
+    )
+    colors = grab("Colors")
+    if colors is not None:
+        rgba = colors.reshape(-1, 4)
+        if len(rgba) >= len(mesh.vertices):
+            mesh.vertex_colors = rgba[: len(mesh.vertices), :3]
+    return mesh
+
+
+def convert_ply_to_fbx(ply_path: Path, fbx_path: Path, ascii: bool = False):
+    """PLY mesh -> FBX.  Aspose when installed; otherwise the native binary
+    FBX 7.4 writer (ASCII with ascii=True)."""
+    if not ascii:
+        try:
+            import aspose.threed as a3d  # pragma: no cover
+
+            scene = a3d.Scene.from_file(str(ply_path))  # pragma: no cover
+            scene.save(str(fbx_path))  # pragma: no cover
+            return  # pragma: no cover
+        except ImportError:
+            pass
     mesh = read_ply(ply_path)
     if not isinstance(mesh, TriangleMesh):
         raise ValueError(f"{ply_path} does not contain a triangle mesh")
-    _write_ascii_fbx(mesh, fbx_path)
+    if ascii:
+        _write_ascii_fbx(mesh, fbx_path)
+    else:
+        from mq3d_tpu.export.fbx_binary import write_fbx_mesh
+
+        write_fbx_mesh(fbx_path, mesh)
 
 
-def convert_fbx_to_ply(fbx_path: Path, ply_path: Path):  # pragma: no cover
-    """FBX -> PLY (requires Aspose; used by downsample_fbx_mesh)."""
-    import aspose.threed as a3d
+def read_fbx_mesh(fbx_path: Path) -> TriangleMesh:
+    """Load a binary or ASCII FBX mesh without external dependencies."""
+    head = Path(fbx_path).open("rb").read(21)
+    if head.startswith(b"Kaydara FBX Binary"):
+        from mq3d_tpu.export.fbx_binary import read_fbx_mesh as _read_bin
 
-    scene = a3d.Scene.from_file(str(fbx_path))
-    scene.save(str(ply_path))
+        return _read_bin(fbx_path)
+    return _read_ascii_fbx(fbx_path)
+
+
+def convert_fbx_to_ply(fbx_path: Path, ply_path: Path):
+    """FBX -> PLY (used by downsample_fbx_mesh); Aspose when installed,
+    native binary/ASCII readers otherwise."""
+    try:
+        import aspose.threed as a3d  # pragma: no cover
+
+        scene = a3d.Scene.from_file(str(fbx_path))  # pragma: no cover
+        scene.save(str(ply_path))  # pragma: no cover
+        return  # pragma: no cover
+    except ImportError:
+        pass
+    write_ply_mesh(ply_path, read_fbx_mesh(fbx_path))

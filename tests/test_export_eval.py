@@ -168,22 +168,103 @@ class TestColmap:
 
 
 class TestFbx:
-    def test_ascii_fbx_written(self, rng, tmp_path):
-        from mq3d_tpu.export.fbx import convert_ply_to_fbx
-        from mq3d_tpu.dataio.ply import write_ply_mesh
-
-        mesh = TriangleMesh(
+    def _mesh(self, rng):
+        return TriangleMesh(
             vertices=rng.normal(size=(8, 3)),
             triangles=rng.integers(0, 8, (6, 3)),
             vertex_colors=rng.random((8, 3)),
         )
+
+    def test_ascii_fbx_written(self, rng, tmp_path):
+        from mq3d_tpu.export.fbx import convert_ply_to_fbx
+        from mq3d_tpu.dataio.ply import write_ply_mesh
+
+        mesh = self._mesh(rng)
+        ply = tmp_path / "m.ply"
+        write_ply_mesh(ply, mesh)
+        fbx = tmp_path / "m.fbx"
+        convert_ply_to_fbx(ply, fbx, ascii=True)
+        text = fbx.read_text()
+        assert "Vertices:" in text and "PolygonVertexIndex" in text
+        assert "LayerElementColor" in text
+
+    def test_binary_fbx_roundtrip(self, rng, tmp_path):
+        """Default output is binary FBX (the reference's Aspose artifact
+        class); our reader recovers geometry + colors bit-for-bit at
+        float32 PLY precision."""
+        from mq3d_tpu.export.fbx import (
+            convert_fbx_to_ply,
+            convert_ply_to_fbx,
+            read_fbx_mesh,
+        )
+        from mq3d_tpu.dataio.ply import read_ply, write_ply_mesh
+
+        mesh = self._mesh(rng)
         ply = tmp_path / "m.ply"
         write_ply_mesh(ply, mesh)
         fbx = tmp_path / "m.fbx"
         convert_ply_to_fbx(ply, fbx)
-        text = fbx.read_text()
-        assert "Vertices:" in text and "PolygonVertexIndex" in text
-        assert "LayerElementColor" in text
+        assert fbx.read_bytes().startswith(b"Kaydara FBX Binary")
+
+        out = read_fbx_mesh(fbx)
+        np.testing.assert_allclose(
+            out.vertices, mesh.vertices, rtol=0, atol=1e-6
+        )
+        np.testing.assert_array_equal(out.triangles, mesh.triangles)
+        # PLY stores colors as uint8; allow that quantization.
+        np.testing.assert_allclose(
+            out.vertex_colors, mesh.vertex_colors, atol=1.0 / 255
+        )
+
+        ply2 = tmp_path / "back.ply"
+        convert_fbx_to_ply(fbx, ply2)
+        back = read_ply(ply2)
+        np.testing.assert_allclose(
+            back.vertices, mesh.vertices, rtol=0, atol=1e-6
+        )
+
+    def test_binary_fbx_node_tree(self, rng, tmp_path):
+        """Container-level round-trip: node names, property types, and
+        zlib'd arrays survive write->read unchanged; quads fan-split."""
+        import numpy as np
+
+        from mq3d_tpu.export.fbx_binary import (
+            FbxNode,
+            fbx_nodes_to_mesh,
+            read_fbx,
+            write_fbx,
+        )
+
+        big = rng.normal(size=4096)  # large enough that zlib wins
+        root = FbxNode("Objects", [7, "label", 2.5, b"\x00\x01"], [
+            FbxNode("Child", [np.arange(5, dtype=np.int32), big]),
+        ])
+        f = tmp_path / "t.fbx"
+        write_fbx(f, [root])
+        (back,) = read_fbx(f)
+        assert back.name == "Objects"
+        assert back.props[:3] == [7, "label", 2.5]
+        assert back.props[3] == b"\x00\x01"
+        child = back.find("Child")
+        np.testing.assert_array_equal(
+            child.props[0], np.arange(5, dtype=np.int32)
+        )
+        np.testing.assert_allclose(child.props[1], big)
+
+        # A quad polygon (0 1 2 3 with FBX end-marker) fans into 2 tris.
+        quad = FbxNode("Objects", [], [
+            FbxNode("Geometry", [1, "Geometry::q", "Mesh"], [
+                FbxNode("Vertices", [np.zeros(12)]),
+                FbxNode(
+                    "PolygonVertexIndex",
+                    [np.array([0, 1, 2, -4], np.int32)],
+                ),
+            ]),
+        ])
+        mesh = fbx_nodes_to_mesh([quad])
+        np.testing.assert_array_equal(
+            mesh.triangles, [[0, 1, 2], [0, 2, 3]]
+        )
 
 
 def make_cube_mesh():
