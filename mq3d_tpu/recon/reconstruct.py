@@ -36,7 +36,7 @@ from mq3d_tpu.recon.color_opt import optimize_color_pose
 from mq3d_tpu.recon.confidence import estimate_depth_confidences
 from mq3d_tpu.recon.depth_pose_optimizer import DepthPoseOptimizer
 from mq3d_tpu.recon.integrate import integrate
-from mq3d_tpu.utils.log import log_step
+from mq3d_tpu.utils.log import log_step, substep
 
 
 def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
@@ -81,24 +81,28 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
         log_step("Integrate depth maps")
         ic = config.depth_integration
         for side, dataset in depth_dataset_map.items():
-            vbg = integrate(
-                dataset=dataset,
-                depth_data_io=data_io.depth,
-                side=side,
-                config=ic,
-                vbg_opt=vbg,
-                show_progress=True,
-                desc=f"[{side.name}] Integrating depth maps",
-            )
+            with substep(f"integrate[{side.name}]"):
+                vbg = integrate(
+                    dataset=dataset,
+                    depth_data_io=data_io.depth,
+                    side=side,
+                    config=ic,
+                    vbg_opt=vbg,
+                    show_progress=True,
+                    desc=f"[{side.name}] Integrating depth maps",
+                )
 
     if vbg is None or vbg.n_active == 0:
         print("[Error] Failed to generate TSDF volume; check inputs/config.")
         return
 
-    data_io.reconstruction.save_colorless_vbg(vbg)
+    with substep("save_colorless_vbg"):
+        data_io.reconstruction.save_colorless_vbg(vbg)
 
-    colorless_pcd = vbg.extract_point_cloud()
-    data_io.reconstruction.save_colorless_pcd(colorless_pcd)
+    with substep("extract_point_cloud"):
+        colorless_pcd = vbg.extract_point_cloud()
+    with substep("save_colorless_pcd"):
+        data_io.reconstruction.save_colorless_pcd(colorless_pcd)
     if config.visualize_colorless_pcd:
         print(
             "[Info] Headless build: colorless point cloud saved to "
@@ -109,15 +113,18 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
     optimized_color_dataset_map: Optional[Dict[Side, CameraDataset]] = None
     if config.optimize_color_pose:
         log_step("Extract and save colorless mesh")
-        colorless_mesh = vbg.extract_triangle_mesh(
-            weight_threshold=config.color_optimization.weight_threshold,
-            estimated_vertex_number=config.color_optimization.estimated_vertex_number,
-        )
-        data_io.reconstruction.save_colorless_mesh_raw(colorless_mesh)
-        colorless_mesh = filter_mesh_components(
-            colorless_mesh,
-            min_triangle_count=config.color_optimization.min_triangle_count,
-        )
+        with substep("extract_triangle_mesh"):
+            colorless_mesh = vbg.extract_triangle_mesh(
+                weight_threshold=config.color_optimization.weight_threshold,
+                estimated_vertex_number=config.color_optimization.estimated_vertex_number,
+            )
+        with substep("save_colorless_mesh_raw"):
+            data_io.reconstruction.save_colorless_mesh_raw(colorless_mesh)
+        with substep("filter_mesh_components"):
+            colorless_mesh = filter_mesh_components(
+                colorless_mesh,
+                min_triangle_count=config.color_optimization.min_triangle_count,
+            )
         if config.visualize_colorless_pcd and len(colorless_mesh.vertices):
             # Height-colored debug coloring (reference reconstruct_scene.py:
             # 125-146 shows this in a viewer; headless builds persist it in
@@ -135,10 +142,12 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
         data_io.reconstruction.save_colorless_mesh_clean(colorless_mesh)
 
         log_step("Optimize color maps")
-        colored_mesh, optimized_color_dataset_map = optimize_color_pose(
-            vbg=vbg, data_io=data_io, config=config.color_optimization
-        )
-        data_io.reconstruction.save_colored_mesh(colored_mesh)
+        with substep("optimize_color_pose"):
+            colored_mesh, optimized_color_dataset_map = optimize_color_pose(
+                vbg=vbg, data_io=data_io, config=config.color_optimization
+            )
+        with substep("save_colored_mesh"):
+            data_io.reconstruction.save_colored_mesh(colored_mesh)
         for side, ds in optimized_color_dataset_map.items():
             data_io.color.save_optimized_color_dataset(dataset=ds, side=side)
 

@@ -13,6 +13,24 @@ def log_step(title: str):
     print("=" * 70)
 
 
+@contextmanager
+def substep(name: str):
+    """Fine-grained wall-clock probe inside a pipeline stage; prints only
+    when MQ3D_SUBSTEP_TIMING is set (used to attribute small-capture
+    latency to individual launches/saves without changing log parity)."""
+    import os
+
+    if not os.environ.get("MQ3D_SUBSTEP_TIMING"):
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        print(f"[Substep] {name}: {time.perf_counter() - t0:.2f}s",
+              flush=True)
+
+
 class StageTimer:
     """Per-stage wall-clock accounting; feeds pipeline_runtime.txt
     (reference: scripts/run_full_pipeline.py:301-339)."""
