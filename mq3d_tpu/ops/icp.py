@@ -63,14 +63,25 @@ def uniform_down_sample(points: np.ndarray, every_k: int) -> np.ndarray:
 
 @dataclass
 class GridNN:
-    """Dense voxel bucket table over a target cloud."""
+    """CSR voxel bucket index over a target cloud.
+
+    `order` holds target point ids sorted by cell; `starts[lin]` is each
+    cell's offset into it (one entry past the last real cell closes the
+    final range).  Memory is O(points + cells) instead of the dense
+    (n_cells * capacity) slot table this replaces — at fine ICP pyramid
+    levels the slot table reached 2^25 slots (134 MB) for <1M points.
+    `max_occ` (max per-cell occupancy, capped at `capacity`, rounded up
+    to a power of two for compile-cache stability) bounds the query loop,
+    so sparse cells cost their real occupancy, not the worst-case cap."""
 
     target: np.ndarray  # (M_pad, 3) float32, padded with +inf
-    table: np.ndarray  # (n_cells_pad * K,) int32 target indices, -1 empty
+    order: np.ndarray  # (M_ord_pad,) int32 target ids sorted by cell
+    starts: np.ndarray  # (n_cells_pad,) int32 CSR offsets into order
     gmin: np.ndarray  # (3,) float32
     dims: np.ndarray  # (3,) int32
     cell: float
     capacity: int
+    max_occ: int
     n_target: int
 
 
@@ -97,57 +108,56 @@ def build_grid_nn(target: np.ndarray, radius: float, capacity: int = 32) -> Grid
     lin = (keys[:, 0] * dims[1] + keys[:, 1]) * dims[2] + keys[:, 2]
     n_cells = int(np.prod(dims))
 
-    order = np.argsort(lin, kind="stable")
-    lin_s = lin[order]
-    # Rank of each point within its cell.
-    within = np.zeros(m, np.int64)
-    if m:
-        boundaries = np.concatenate([[True], lin_s[1:] != lin_s[:-1]])
-        starts = np.zeros(m, np.int64)
-        new_seg = np.nonzero(boundaries)[0]
-        starts[new_seg] = new_seg
-        starts = np.maximum.accumulate(starts)
-        within = np.arange(m) - starts
+    order = np.argsort(lin, kind="stable").astype(np.int32)
+    counts = np.bincount(lin, minlength=n_cells) if m else np.zeros(
+        n_cells, np.int64)
+    # CSR offsets; one closing entry, padded cells read start == end == m.
+    starts = np.full(_bucket_pow2(n_cells + 1), m, np.int32)
+    starts[0] = 0
+    starts[1:n_cells + 1] = np.cumsum(counts).astype(np.int32)
+    # Power-of-two loop bound for compile-cache stability across scenes.
+    max_occ = _bucket_pow2(int(min(counts.max() if m else 0, capacity)), 1)
 
-    table_len = _bucket_pow2(n_cells * capacity)
-    table = np.full(table_len, -1, np.int32)
-    if m:
-        keep = within < capacity
-        slots = lin_s[keep] * capacity + within[keep]
-        table[slots] = order[keep].astype(np.int32)
-
+    m_ord_pad = _bucket_pow2(max(m, 1), 256)
+    order_pad = np.zeros(m_ord_pad, np.int32)
+    order_pad[:m] = order
     m_pad = _bucket_pow2(max(m, 1), 256)
     tgt_pad = np.full((m_pad, 3), np.inf, np.float32)
     tgt_pad[:m] = target
     return GridNN(
         target=tgt_pad,
-        table=table,
+        order=order_pad,
+        starts=starts,
         gmin=gmin.astype(np.float32),
         dims=dims.astype(np.int32),
         cell=cell,
         capacity=capacity,
+        max_occ=max_occ,
         n_target=m,
     )
 
 
-@partial(jax.jit, static_argnames=("capacity",))
+@partial(jax.jit, static_argnames=("max_occ",))
 def _nn_query(
     src,  # (N, 3) float32 (padded with inf)
     T,  # (4, 4) float64/float32 applied to src
     target,  # (M_pad, 3)
-    table,  # (L,)
+    order,  # (M_ord_pad,) i32 target ids sorted by cell
+    starts,  # (S_pad,) i32 CSR offsets, starts[lin]..starts[lin+1]
     gmin,  # (3,)
     dims,  # (3,)
     cell,  # () f32
-    capacity: int,
+    max_occ: int,
 ):
     """Returns (idx (N,), dist (N,)): nearest target within the 2x2x2 cell
     neighborhood (covers everything within `cell`); inf dist if none.
 
-    Candidates reduce INCREMENTALLY (fori over the per-cell bucket) so only
+    Candidates reduce INCREMENTALLY (fori over the CSR cell range) so only
     (N,)-shaped vectors are ever live: the obvious (N, K, 3) gather pads
     its minor dim 3 -> 128 in the T(8,128) layout — a 42x blow-up that
-    OOMed HBM at production cloud sizes under vmap."""
+    OOMed HBM at production cloud sizes under vmap.  The loop bound is
+    the grid's true max occupancy, not the worst-case capacity, so sparse
+    grids march 8*max_occ steps instead of 8*32."""
     Tf = T.astype(jnp.float32)
     p = src @ Tf[:3, :3].T + Tf[:3, 3]
     px, py, pz = p[:, 0], p[:, 1], p[:, 2]
@@ -155,8 +165,9 @@ def _nn_query(
     rel = (p - gmin) / cell
     base = jnp.floor(rel - 0.5).astype(jnp.int32)
 
-    L = table.shape[0]
-    n_cells = L // capacity
+    n_cells = dims[0] * dims[1] * dims[2]
+    s_last = starts.shape[0] - 1
+    m_ord = order.shape[0]
 
     best_d2 = jnp.full(p.shape[0], jnp.inf, jnp.float32)
     best_i = jnp.full(p.shape[0], -1, jnp.int32)
@@ -166,36 +177,40 @@ def _nn_query(
                 c = base + jnp.asarray([dx, dy, dz], jnp.int32)
                 ok = jnp.all((c >= 0) & (c < dims), axis=-1)
                 lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
-                lin = jnp.where(ok & (lin < n_cells), lin, n_cells - 1)
-                slot0 = lin * capacity
+                lin = jnp.where(ok & (lin < n_cells), lin, 0)
+                lin = jnp.minimum(lin, s_last - 1)
+                s = jnp.where(ok, starts[lin], 0)
+                e = jnp.where(ok, starts[lin + 1], 0)
 
-                def k_body(k, carry, slot0=slot0, ok=ok):
+                def k_body(k, carry, s=s, e=e):
                     bd2, bi = carry
-                    ti = table[slot0 + k]  # (N,)
-                    ok2 = ok & (ti >= 0)
-                    ti_s = jnp.maximum(ti, 0)
-                    d2 = ((px - tx[ti_s]) ** 2 + (py - ty[ti_s]) ** 2
-                          + (pz - tz[ti_s]) ** 2)
-                    d2 = jnp.where(ok2, d2, jnp.inf)
+                    pos = s + k
+                    live = pos < e
+                    ti = order[jnp.minimum(pos, m_ord - 1)]  # (N,)
+                    d2 = ((px - tx[ti]) ** 2 + (py - ty[ti]) ** 2
+                          + (pz - tz[ti]) ** 2)
+                    d2 = jnp.where(live, d2, jnp.inf)
                     better = d2 < bd2
                     return (jnp.where(better, d2, bd2),
                             jnp.where(better, ti, bi))
 
                 best_d2, best_i = jax.lax.fori_loop(
-                    0, capacity, k_body, (best_d2, best_i))
+                    0, max_occ, k_body, (best_d2, best_i))
     return best_i, jnp.sqrt(best_d2)
 
 
-@partial(jax.jit, static_argnames=("capacity",))
+@partial(jax.jit, static_argnames=("max_occ",))
 def _corr_reduce(
-    src, T, target, table, gmin, dims, cell, max_corr, n_src, capacity: int
+    src, T, target, order, starts, gmin, dims, cell, max_corr, n_src,
+    max_occ: int,
 ):
     """One ICP data pass: masked correspondence statistics.
 
     Returns (n_inlier, sse, sum_s, sum_q, sum_sq outer (3,3)) — everything
     Kabsch needs, reduced on device.
     """
-    idx, dist = _nn_query(src, T, target, table, gmin, dims, cell, capacity)
+    idx, dist = _nn_query(
+        src, T, target, order, starts, gmin, dims, cell, max_occ)
     npts = src.shape[0]
     in_src = jnp.arange(npts) < n_src
     inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
@@ -245,19 +260,20 @@ def _horn_rotation(H):
 
 @partial(
     jax.jit,
-    static_argnames=("capacity", "max_iteration"),
+    static_argnames=("max_occ", "max_iteration"),
 )
 def _icp_level_device(
-    src, n_src, target, table, gmin, dims, cell, max_corr, T0,
+    src, n_src, target, order, starts, gmin, dims, cell, max_corr, T0,
     relative_fitness, relative_rmse,
-    capacity: int, max_iteration: int,
+    max_occ: int, max_iteration: int,
 ):
     """Full point-to-point ICP at one pyramid level in ONE device launch:
     while_loop over {NN query -> masked moments -> Horn update -> convergence
     check}.  Avoids a host round trip per iteration."""
 
     def corr_stats(T):
-        idx, dist = _nn_query(src, T, target, table, gmin, dims, cell, capacity)
+        idx, dist = _nn_query(
+            src, T, target, order, starts, gmin, dims, cell, max_occ)
         npts = src.shape[0]
         in_src = jnp.arange(npts) < n_src
         inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
@@ -337,9 +353,10 @@ def _pad_src(points: np.ndarray) -> Tuple[np.ndarray, int]:
 def _stats(grid: GridNN, src_pad, n_src, T, max_corr):
     n_in, sse, sum_p, sum_q, outer, sum_ppT = _corr_reduce(
         jnp.asarray(src_pad), jnp.asarray(T), jnp.asarray(grid.target),
-        jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+        jnp.asarray(grid.order), jnp.asarray(grid.starts),
+        jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
         jnp.float32(grid.cell), jnp.float32(max_corr), jnp.asarray(n_src),
-        grid.capacity,
+        grid.max_occ,
     )
     return (
         fetch_int(n_in), fetch_float(sse), fetch(sum_p), fetch(sum_q),
@@ -368,11 +385,12 @@ def registration_icp(
 
     T_out, fitness, rmse, n_in = _icp_level_device(
         jnp.asarray(src_pad), jnp.asarray(n_src), jnp.asarray(grid.target),
-        jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+        jnp.asarray(grid.order), jnp.asarray(grid.starts),
+        jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
         jnp.float32(grid.cell), jnp.float32(max_correspondence_distance),
         jnp.asarray(T, jnp.float64),
         jnp.float32(criteria.relative_fitness), jnp.float32(criteria.relative_rmse),
-        capacity=grid.capacity, max_iteration=int(criteria.max_iteration),
+        max_occ=grid.max_occ, max_iteration=int(criteria.max_iteration),
     )
     return RegistrationResult(
         fetch(T_out), fetch_float(fitness), fetch_float(rmse), fetch_int(n_in)
@@ -431,8 +449,9 @@ def get_information_matrix(
         return np.eye(6)
     idx, dist = _nn_query(
         jnp.asarray(src_pad), jnp.asarray(transformation), jnp.asarray(grid.target),
-        jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
-        jnp.float32(grid.cell), grid.capacity,
+        jnp.asarray(grid.order), jnp.asarray(grid.starts),
+        jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+        jnp.float32(grid.cell), grid.max_occ,
     )
     idx = np.asarray(idx)
     dist = np.asarray(dist)
@@ -454,9 +473,10 @@ def get_information_matrix(
     return np.einsum("nri,nrj->ij", G, G)
 
 
-@partial(jax.jit, static_argnames=("capacity",))
+@partial(jax.jit, static_argnames=("max_occ",))
 def _info_stats_device(
-    src, n_src, T, target, table, gmin, dims, cell, max_corr, capacity: int
+    src, n_src, T, target, order, starts, gmin, dims, cell, max_corr,
+    max_occ: int,
 ):
     """Inlier-masked reductions for the information matrix: (n, Σq, Σqqᵀ).
 
@@ -464,7 +484,8 @@ def _info_stats_device(
     summed over target inliers q, so only these three masked reductions
     are needed — no (N, 3, 6) Jacobian materializes, and the qᵀq matmul
     is MXU work."""
-    idx, dist = _nn_query(src, T, target, table, gmin, dims, cell, capacity)
+    idx, dist = _nn_query(
+        src, T, target, order, starts, gmin, dims, cell, max_occ)
     npts = src.shape[0]
     inlier = (
         (dist <= max_corr) & jnp.isfinite(dist) & (jnp.arange(npts) < n_src)
@@ -477,9 +498,9 @@ def _info_stats_device(
 _info_stats_vmapped = jax.jit(
     jax.vmap(
         _info_stats_device,
-        in_axes=(0, 0, 0, None, None, None, None, None, None, None),
+        in_axes=(0, 0, 0, None, None, None, None, None, None, None, None),
     ),
-    static_argnums=(9,),
+    static_argnums=(10,),
 )
 
 
@@ -542,10 +563,11 @@ def get_information_matrix_batch(
 
     n_in, s_sum, S_sum = _info_stats_vmapped(
         jnp.asarray(src_t), jnp.asarray(n_src_t), jnp.asarray(T_t),
-        jnp.asarray(grid.target), jnp.asarray(grid.table),
+        jnp.asarray(grid.target), jnp.asarray(grid.order),
+        jnp.asarray(grid.starts),
         jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
         jnp.float32(grid.cell), jnp.float32(max_correspondence_distance),
-        grid.capacity,
+        grid.max_occ,
     )
     n_in = np.asarray(n_in).reshape(B, n_tiles).sum(1)
     s_sum = np.asarray(s_sum).reshape(B, n_tiles, 3).sum(1)
@@ -562,9 +584,9 @@ def get_information_matrix_batch(
 _icp_level_vmapped = jax.jit(
     jax.vmap(
         _icp_level_device,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
     ),
-    static_argnums=(11, 12),
+    static_argnums=(12, 13),
 )
 
 
@@ -572,22 +594,23 @@ def _stack_pairs(sources, grids, max_corrs, inits, criteria):
     """Pad B heterogeneous (source, GridNN) pairs to common device shapes.
 
     Per-pair pads are already pow2-bucketed, so the common max rarely
-    expands anything; table pads fill with -1 (empty slot, masked in
-    _nn_query) and target pads with +inf (masked by distance)."""
+    expands anything; CSR `starts` pads fill with each grid's own point
+    count (empty trailing cells) and targets pad with +inf (masked by
+    distance)."""
     B = len(sources)
-    caps = {g.capacity for g in grids}
-    assert len(caps) == 1, f"mixed GridNN capacities {caps}"
-    capacity = caps.pop()
 
     src_pads = [_pad_src(np.asarray(s, np.float32)) for s in sources]
     n_pad = max(s.shape[0] for s, _ in src_pads)
     m_pad = max(g.target.shape[0] for g in grids)
-    l_pad = max(g.table.shape[0] for g in grids)
+    o_pad = max(g.order.shape[0] for g in grids)
+    s_pad = max(g.starts.shape[0] for g in grids)
+    max_occ = max(g.max_occ for g in grids)
 
     src = np.full((B, n_pad, 3), np.inf, np.float32)
     n_src = np.zeros((B,), np.int32)
     target = np.full((B, m_pad, 3), np.inf, np.float32)
-    table = np.full((B, l_pad), -1, np.int32)
+    order = np.zeros((B, o_pad), np.int32)
+    starts = np.zeros((B, s_pad), np.int32)
     gmin = np.zeros((B, 3), np.float32)
     dims = np.ones((B, 3), np.int32)
     cell = np.ones((B,), np.float32)
@@ -595,9 +618,11 @@ def _stack_pairs(sources, grids, max_corrs, inits, criteria):
         src[i, : s.shape[0]] = s
         n_src[i] = n
         target[i, : g.target.shape[0]] = g.target
-        # keep each pair's own (n_cells, capacity) layout left-aligned;
-        # extra slots stay -1
-        table[i, : g.table.shape[0]] = g.table
+        order[i, : g.order.shape[0]] = g.order
+        # Pad trailing cells as empty (start = end = n_target); queries
+        # only reach them for out-of-grid cells, which mask anyway.
+        starts[i] = g.n_target
+        starts[i, : g.starts.shape[0]] = g.starts
         gmin[i] = g.gmin
         dims[i] = g.dims
         cell[i] = g.cell
@@ -606,8 +631,8 @@ def _stack_pairs(sources, grids, max_corrs, inits, criteria):
                    for t in inits])
     rel_f = np.asarray([c.relative_fitness for c in criteria], np.float32)
     rel_r = np.asarray([c.relative_rmse for c in criteria], np.float32)
-    return (src, n_src, target, table, gmin, dims, cell,
-            np.asarray(max_corrs, np.float32), T0, rel_f, rel_r, capacity)
+    return (src, n_src, target, order, starts, gmin, dims, cell,
+            np.asarray(max_corrs, np.float32), T0, rel_f, rel_r, max_occ)
 
 
 def registration_icp_batch(
@@ -637,7 +662,7 @@ def registration_icp_batch(
     max_iter = max(int(c.max_iteration) for c in criteria)
 
     packed = _stack_pairs(sources, grids, max_corrs, inits, criteria)
-    capacity = packed[-1]
+    max_occ = packed[-1]
     arrays = [np.asarray(a) for a in packed[:-1]]
 
     n_dev = 1 if mesh is None else int(np.prod([mesh.devices.size]))
@@ -651,15 +676,15 @@ def registration_icp_batch(
         arrays[1][B:] = 0  # n_src = 0 -> immediate retirement
 
     if mesh is None:
-        out = _icp_level_vmapped(*map(jnp.asarray, arrays), capacity,
+        out = _icp_level_vmapped(*map(jnp.asarray, arrays), max_occ,
                                  max_iter)
     else:
         from jax.sharding import PartitionSpec as P
 
         def run(*a):
             return jax.vmap(
-                _icp_level_device, in_axes=(0,) * 11 + (None, None)
-            )(*a, capacity, max_iter)
+                _icp_level_device, in_axes=(0,) * 12 + (None, None)
+            )(*a, max_occ, max_iter)
 
         sharded = jax.jit(
             jax.shard_map(
@@ -683,10 +708,10 @@ def registration_icp_batch(
 _icp_level_vmapped_shared = jax.jit(
     jax.vmap(
         _icp_level_device,
-        in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, None,
-                 None),
+        in_axes=(0, 0, None, None, None, None, None, None, 0, 0, 0, 0,
+                 None, None),
     ),
-    static_argnums=(11, 12),
+    static_argnums=(12, 13),
 )
 
 # Largest source pad the vmapped shared-grid executable survives on the
@@ -700,12 +725,12 @@ _icp_level_vmapped_shared = jax.jit(
 _VMAP_SRC_PAD_LIMIT = 131072
 
 
-@partial(jax.jit, static_argnames=("capacity", "max_iteration"))
+@partial(jax.jit, static_argnames=("max_occ", "max_iteration"))
 def _icp_level_device_tiled(
     src_tiles,  # (n_tiles, TILE, 3) f32, inf-padded
-    n_src, target, table, gmin, dims, cell, max_corr, T0,
+    n_src, target, order, starts, gmin, dims, cell, max_corr, T0,
     relative_fitness, relative_rmse,
-    capacity: int, max_iteration: int,
+    max_occ: int, max_iteration: int,
 ):
     """_icp_level_device with the source axis tiled: every array op inside
     the while_loop is (TILE,)-shaped, the scan accumulates the five
@@ -719,8 +744,8 @@ def _icp_level_device_tiled(
 
         def tile(carry, args):
             src_t, base = args
-            idx, dist = _nn_query(src_t, T, target, table, gmin, dims,
-                                  cell, capacity)
+            idx, dist = _nn_query(src_t, T, target, order, starts, gmin,
+                                  dims, cell, max_occ)
             in_src = (jnp.arange(TILE) + base) < n_src
             inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
             p = src_t @ Tf[:3, :3].T + Tf[:3, 3]
@@ -792,10 +817,10 @@ def _icp_level_device_tiled(
 _icp_level_vmapped_shared_tiled = jax.jit(
     jax.vmap(
         _icp_level_device_tiled,
-        in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, None,
-                 None),
+        in_axes=(0, 0, None, None, None, None, None, None, 0, 0, 0, 0,
+                 None, None),
     ),
-    static_argnums=(11, 12),
+    static_argnums=(12, 13),
 )
 
 
@@ -837,7 +862,8 @@ def registration_icp_batch_shared(
     chunk = max(int(max_stack_bytes // max(per_src_bytes, 1)), 1)
 
     tgt = jnp.asarray(grid.target)
-    table = jnp.asarray(grid.table)
+    order = jnp.asarray(grid.order)
+    starts = jnp.asarray(grid.starts)
     gmin = jnp.asarray(grid.gmin)
     dims = jnp.asarray(grid.dims)
 
@@ -870,10 +896,11 @@ def registration_icp_batch_shared(
             src_in = src
             runner = _icp_level_vmapped_shared
         T, fitness, rmse, n_in = runner(
-            jnp.asarray(src_in), jnp.asarray(n_src), tgt, table, gmin, dims,
+            jnp.asarray(src_in), jnp.asarray(n_src), tgt, order, starts,
+            gmin, dims,
             jnp.float32(grid.cell), jnp.asarray(mc), jnp.asarray(T0),
             jnp.asarray(rel_f), jnp.asarray(rel_r),
-            grid.capacity, max_iter)
+            grid.max_occ, max_iter)
         T, fitness, rmse, n_in = (np.asarray(x)
                                   for x in (T, fitness, rmse, n_in))
         out.extend(

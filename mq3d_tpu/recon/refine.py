@@ -145,7 +145,8 @@ class _FragmentCache:
         import jax.numpy as jnp
 
         grid.target = jnp.asarray(grid.target)
-        grid.table = jnp.asarray(grid.table)
+        grid.order = jnp.asarray(grid.order)
+        grid.starts = jnp.asarray(grid.starts)
         grid.gmin = jnp.asarray(grid.gmin)
         grid.dims = jnp.asarray(grid.dims)
         return grid

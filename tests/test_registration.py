@@ -58,8 +58,9 @@ class TestGridNN:
         src_pad, n_src = _pad_src(src)
         idx, dist = _nn_query(
             jnp.asarray(src_pad), jnp.asarray(np.eye(4)), jnp.asarray(grid.target),
-            jnp.asarray(grid.table), jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
-            jnp.float32(grid.cell), grid.capacity,
+            jnp.asarray(grid.order), jnp.asarray(grid.starts),
+            jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+            jnp.float32(grid.cell), grid.max_occ,
         )
         idx = np.asarray(idx)[:n_src]
         dist = np.asarray(dist)[:n_src]
