@@ -199,6 +199,147 @@ def _nn_query(
     return best_i, jnp.sqrt(best_d2)
 
 
+# ---------------------------------------------------------------------------
+# Discrete-Voronoi nearest-id field (fast approximate NN for the hot
+# batched pair-ICP path)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VoroNN:
+    """Dense nearest-target-id field at cell size == the search radius.
+
+    Each in-range cell stores the id of the target point nearest to the
+    CELL CENTER (a discretized Voronoi diagram, built by one device
+    scatter-min of every target id into its 3x3x3 cell neighborhood with a
+    packed (distance-bits << 32 | id) key).  A query gathers the ids of its
+    2x2x2 surrounding cells and takes the true-distance argmin over those
+    <= 8 candidates: ~32 gathers per query point vs the CSR grid's
+    8 * max_occ * 4 (up to 1024 at production fragment density) — the
+    difference between a ~2 s and a ~60 ms ICP iteration at 1M points.
+
+    Approximation: the per-cell winner is nearest to the cell center, not
+    to the query, so the returned neighbor can be farther than the true
+    nearest by O(cell).  Every target within `radius` of the query is
+    guaranteed to have been scattered into at least one queried cell
+    (|cell(t) - cell(p)| <= 1 per axis and the scatter covers the full
+    3x3x3 of cell(t), which contains cell(p)); only shadowing by a
+    closer-to-center point loses it, and the shadowing point is itself a
+    near-optimal correspondence.  ICP tolerates this class of approximate
+    correspondence (cf. Open3D's hybrid search); the A/B test
+    (tests/test_icp.py) bounds the converged-transform delta."""
+
+    target: np.ndarray  # (M_pad, 3) float32, padded with +inf
+    ids: np.ndarray  # (n_cells_pad,) int32 nearest id per cell, -1 empty
+    gmin: np.ndarray  # (3,) float32
+    dims: np.ndarray  # (3,) int32
+    cell: float
+    n_target: int
+
+
+# Refuse to densify absurd extents (falls back to the CSR grid).
+_VORO_MAX_CELLS = 64 * 1024 * 1024
+
+_NEIGH27 = np.stack(
+    np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), -1
+).reshape(-1, 3).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("n_cells_pad",))
+def _voro_scatter(pts, gmin, dims, cell, n_cells_pad: int):
+    """Scatter-min of (dist-to-cell-center, id) over each point's 3x3x3
+    cell neighborhood.  f32 distance bits order like the floats for
+    non-negative values, so one int64 key carries both."""
+    keys = jnp.floor((pts - gmin) / cell).astype(jnp.int32)  # (m, 3)
+    cells = keys[:, None, :] + jnp.asarray(_NEIGH27)[None]  # (m, 27, 3)
+    centers = (cells.astype(jnp.float32) + 0.5) * cell + gmin
+    d2 = jnp.sum((pts[:, None, :] - centers) ** 2, -1)  # (m, 27) f32
+    lin = (cells[..., 0] * dims[1] + cells[..., 1]) * dims[2] + cells[..., 2]
+    m = pts.shape[0]
+    ids = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, 27))
+    key = (
+        jax.lax.bitcast_convert_type(d2, jnp.int32).astype(jnp.int64) << 32
+    ) | ids.astype(jnp.int64)
+    field = jnp.full((n_cells_pad,), jnp.iinfo(jnp.int64).max, jnp.int64)
+    field = field.at[lin.reshape(-1)].min(key.reshape(-1), mode="drop")
+    return jnp.where(
+        field == jnp.iinfo(jnp.int64).max,
+        jnp.int32(-1),
+        (field & 0x7FFFFFFF).astype(jnp.int32),
+    )
+
+
+def build_voronoi_nn(target: np.ndarray, radius: float) -> "VoroNN | GridNN":
+    """Build the nearest-id field on device (one scatter-min launch).
+
+    Falls back to the exact CSR grid when the dense field would exceed
+    _VORO_MAX_CELLS (degenerate extents / tiny radius)."""
+    target = np.asarray(target, np.float32)
+    m = len(target)
+    cell = float(radius)
+    if m == 0:
+        return build_grid_nn(target, radius)
+    tmin = target.min(axis=0)
+    tmax = target.max(axis=0)
+    # Two guard cells on each side: scatter cells (key +- 1) and query
+    # cells (floor(rel - 0.5) + {0,1}) both stay in bounds for any point
+    # inside [tmin - cell, tmax + cell].
+    gmin = tmin - 2.0 * cell
+    dims = np.floor((tmax - gmin) / cell).astype(np.int64) + 3
+    n_cells = int(np.prod(dims))
+    if n_cells > _VORO_MAX_CELLS:
+        return build_grid_nn(target, radius)
+
+    n_cells_pad = _bucket_pow2(n_cells, 1024)
+    ids = _voro_scatter(
+        jnp.asarray(target), jnp.asarray(gmin, np.float32),
+        jnp.asarray(dims.astype(np.int32)), jnp.float32(cell), n_cells_pad)
+
+    m_pad = _bucket_pow2(max(m, 1), 256)
+    tgt_pad = np.full((m_pad, 3), np.inf, np.float32)
+    tgt_pad[:m] = target
+    return VoroNN(
+        target=tgt_pad,
+        ids=ids,
+        gmin=gmin.astype(np.float32),
+        dims=dims.astype(np.int32),
+        cell=cell,
+        n_target=m,
+    )
+
+
+def _nn_query_voro(src, T, target, ids, gmin, dims, cell):
+    """Approximate NN via the Voronoi field: 8 id gathers + 8 true-distance
+    checks.  Returns (idx (N,), dist (N,)); inf where no candidate."""
+    Tf = T.astype(jnp.float32)
+    p = src @ Tf[:3, :3].T + Tf[:3, 3]
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    tx, ty, tz = target[:, 0], target[:, 1], target[:, 2]
+    rel = (p - gmin) / cell
+    base = jnp.floor(rel - 0.5).astype(jnp.int32)
+    n_cells = dims[0] * dims[1] * dims[2]
+    i_last = ids.shape[0] - 1
+
+    best_d2 = jnp.full(p.shape[0], jnp.inf, jnp.float32)
+    best_i = jnp.full(p.shape[0], -1, jnp.int32)
+    for dx in range(2):
+        for dy in range(2):
+            for dz in range(2):
+                c = base + jnp.asarray([dx, dy, dz], jnp.int32)
+                ok = jnp.all((c >= 0) & (c < dims), axis=-1)
+                lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+                lin = jnp.where(ok & (lin < n_cells), lin, 0)
+                ti = ids[jnp.minimum(lin, i_last)]
+                ok = ok & (ti >= 0)
+                tis = jnp.maximum(ti, 0)
+                d2 = ((px - tx[tis]) ** 2 + (py - ty[tis]) ** 2
+                      + (pz - tz[tis]) ** 2)
+                d2 = jnp.where(ok, d2, jnp.inf)
+                better = d2 < best_d2
+                best_d2 = jnp.where(better, d2, best_d2)
+                best_i = jnp.where(better, tis, best_i)
+    return best_i, jnp.sqrt(best_d2)
+
+
 @partial(jax.jit, static_argnames=("max_occ",))
 def _corr_reduce(
     src, T, target, order, starts, gmin, dims, cell, max_corr, n_src,
@@ -258,33 +399,14 @@ def _horn_rotation(H):
     return R
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_occ", "max_iteration"),
-)
-def _icp_level_device(
-    src, n_src, target, order, starts, gmin, dims, cell, max_corr, T0,
-    relative_fitness, relative_rmse,
-    max_occ: int, max_iteration: int,
-):
-    """Full point-to-point ICP at one pyramid level in ONE device launch:
-    while_loop over {NN query -> masked moments -> Horn update -> convergence
-    check}.  Avoids a host round trip per iteration."""
-
-    def corr_stats(T):
-        idx, dist = _nn_query(
-            src, T, target, order, starts, gmin, dims, cell, max_occ)
-        npts = src.shape[0]
-        in_src = jnp.arange(npts) < n_src
-        inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
-        Tf = T.astype(jnp.float32)
-        p = src @ Tf[:3, :3].T + Tf[:3, 3]
-        q = target[jnp.maximum(idx, 0)]
-        p = jnp.where(inlier[:, None], p, 0.0)
-        q = jnp.where(inlier[:, None], q, 0.0)
-        n_in = jnp.sum(inlier)
-        sse = jnp.sum(jnp.where(inlier, dist ** 2, 0.0))
-        return n_in, sse, jnp.sum(p, 0), jnp.sum(q, 0), p.T @ q
+def _kabsch_loop(corr_stats, n_src, T0, relative_fitness, relative_rmse,
+                 max_iteration):
+    """Shared ICP driver: while_loop over {corr_stats -> Horn update ->
+    convergence check} in one device launch, then a final stats pass at
+    the converged transform.  `corr_stats(T)` returns the five masked
+    correspondence moments (n_in, sse, sum_p, sum_q, outer); the query
+    strategy (CSR grid / Voronoi field, flat / tiled) lives entirely in
+    the closure."""
 
     def cond(carry):
         T, prev_f, prev_r, it, done = carry
@@ -323,8 +445,65 @@ def _icp_level_device(
     T, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     n_in, sse, _, _, _ = corr_stats(T)
     fitness = (n_in / jnp.maximum(n_src, 1)).astype(jnp.float32)
-    rmse = jnp.sqrt(sse / jnp.maximum(n_in, 1).astype(jnp.float32)).astype(jnp.float32)
+    rmse = jnp.sqrt(
+        sse / jnp.maximum(n_in, 1).astype(jnp.float32)
+    ).astype(jnp.float32)
     return T, fitness, rmse, n_in
+
+
+def _corr_stats_flat(query, src, n_src, target, max_corr):
+    """Masked correspondence moments over one flat (N, 3) source array."""
+
+    def corr_stats(T):
+        idx, dist = query(src, T)
+        npts = src.shape[0]
+        in_src = jnp.arange(npts) < n_src
+        inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
+        Tf = T.astype(jnp.float32)
+        p = src @ Tf[:3, :3].T + Tf[:3, 3]
+        q = target[jnp.maximum(idx, 0)]
+        p = jnp.where(inlier[:, None], p, 0.0)
+        q = jnp.where(inlier[:, None], q, 0.0)
+        n_in = jnp.sum(inlier)
+        sse = jnp.sum(jnp.where(inlier, dist ** 2, 0.0))
+        return n_in, sse, jnp.sum(p, 0), jnp.sum(q, 0), p.T @ q
+
+    return corr_stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_occ", "max_iteration"),
+)
+def _icp_level_device(
+    src, n_src, target, order, starts, gmin, dims, cell, max_corr, T0,
+    relative_fitness, relative_rmse,
+    max_occ: int, max_iteration: int,
+):
+    """Full point-to-point ICP at one pyramid level in ONE device launch:
+    while_loop over {NN query -> masked moments -> Horn update -> convergence
+    check}.  Avoids a host round trip per iteration."""
+    query = partial(
+        _nn_query, target=target, order=order, starts=starts, gmin=gmin,
+        dims=dims, cell=cell, max_occ=max_occ)
+    corr_stats = _corr_stats_flat(
+        lambda s, T: query(s, T), src, n_src, target, max_corr)
+    return _kabsch_loop(corr_stats, n_src, T0, relative_fitness,
+                        relative_rmse, max_iteration)
+
+
+@partial(jax.jit, static_argnames=("max_iteration",))
+def _icp_level_device_voro(
+    src, n_src, target, ids, gmin, dims, cell, max_corr, T0,
+    relative_fitness, relative_rmse, max_iteration: int,
+):
+    """_icp_level_device with the Voronoi-field query (~32 gathers/point
+    instead of 8 * max_occ * 4)."""
+    corr_stats = _corr_stats_flat(
+        lambda s, T: _nn_query_voro(s, T, target, ids, gmin, dims, cell),
+        src, n_src, target, max_corr)
+    return _kabsch_loop(corr_stats, n_src, T0, relative_fitness,
+                        relative_rmse, max_iteration)
 
 
 @dataclass
@@ -382,6 +561,23 @@ def registration_icp(
     src_pad, n_src = _pad_src(np.asarray(source, np.float32))
     if n_src == 0 or grid.n_target == 0:
         return RegistrationResult(T)
+
+    if isinstance(grid, VoroNN):
+        T_out, fitness, rmse, n_in = _icp_level_device_voro(
+            jnp.asarray(src_pad), jnp.asarray(n_src),
+            jnp.asarray(grid.target), jnp.asarray(grid.ids),
+            jnp.asarray(grid.gmin), jnp.asarray(grid.dims),
+            jnp.float32(grid.cell),
+            jnp.float32(max_correspondence_distance),
+            jnp.asarray(T, jnp.float64),
+            jnp.float32(criteria.relative_fitness),
+            jnp.float32(criteria.relative_rmse),
+            max_iteration=int(criteria.max_iteration),
+        )
+        return RegistrationResult(
+            fetch(T_out), fetch_float(fitness), fetch_float(rmse),
+            fetch_int(n_in)
+        )
 
     T_out, fitness, rmse, n_in = _icp_level_device(
         jnp.asarray(src_pad), jnp.asarray(n_src), jnp.asarray(grid.target),
@@ -725,18 +921,11 @@ _icp_level_vmapped_shared = jax.jit(
 _VMAP_SRC_PAD_LIMIT = 131072
 
 
-@partial(jax.jit, static_argnames=("max_occ", "max_iteration"))
-def _icp_level_device_tiled(
-    src_tiles,  # (n_tiles, TILE, 3) f32, inf-padded
-    n_src, target, order, starts, gmin, dims, cell, max_corr, T0,
-    relative_fitness, relative_rmse,
-    max_occ: int, max_iteration: int,
-):
-    """_icp_level_device with the source axis tiled: every array op inside
-    the while_loop is (TILE,)-shaped, the scan accumulates the five
-    correspondence moments across tiles.  Numerically the same Kabsch
-    update (summation order differs across tiles; fitness/rmse agree to
-    f32 rounding)."""
+def _corr_stats_tiled(query, src_tiles, n_src, target, max_corr):
+    """Correspondence moments with the source axis tiled: every array op
+    is (TILE,)-shaped, a scan accumulates the five moments across tiles.
+    Numerically the same Kabsch update as the flat pass (summation order
+    differs across tiles; fitness/rmse agree to f32 rounding)."""
     n_tiles, TILE, _ = src_tiles.shape
 
     def corr_stats(T):
@@ -744,8 +933,7 @@ def _icp_level_device_tiled(
 
         def tile(carry, args):
             src_t, base = args
-            idx, dist = _nn_query(src_t, T, target, order, starts, gmin,
-                                  dims, cell, max_occ)
+            idx, dist = query(src_t, T)
             in_src = (jnp.arange(TILE) + base) < n_src
             inlier = in_src & (dist <= max_corr) & jnp.isfinite(dist)
             p = src_t @ Tf[:3, :3].T + Tf[:3, 3]
@@ -771,47 +959,37 @@ def _icp_level_device_tiled(
         out, _ = jax.lax.scan(tile, init, (src_tiles, bases))
         return out
 
-    def cond(carry):
-        T, prev_f, prev_r, it, done = carry
-        return (~done) & (it < max_iteration)
+    return corr_stats
 
-    def body(carry):
-        T, prev_f, prev_r, it, _ = carry
-        n_in, sse, sum_p, sum_q, outer = corr_stats(T)
-        nf = jnp.maximum(n_in, 1).astype(jnp.float32)
-        fitness = (n_in / jnp.maximum(n_src, 1)).astype(jnp.float32)
-        rmse = jnp.sqrt(sse / nf).astype(jnp.float32)
 
-        cp = sum_p / nf
-        cq = sum_q / nf
-        H = outer / nf - jnp.outer(cp, cq)
-        R = _horn_rotation(H.astype(jnp.float64)).astype(jnp.float64)
-        t = cq.astype(jnp.float64) - R @ cp.astype(jnp.float64)
-        delta = jnp.eye(4, dtype=jnp.float64).at[:3, :3].set(R).at[:3, 3].set(t)
-        T_new = jnp.where(n_in >= 3, delta @ T, T)
+@partial(jax.jit, static_argnames=("max_occ", "max_iteration"))
+def _icp_level_device_tiled(
+    src_tiles,  # (n_tiles, TILE, 3) f32, inf-padded
+    n_src, target, order, starts, gmin, dims, cell, max_corr, T0,
+    relative_fitness, relative_rmse,
+    max_occ: int, max_iteration: int,
+):
+    """_icp_level_device with the source axis tiled (see
+    _corr_stats_tiled)."""
+    corr_stats = _corr_stats_tiled(
+        lambda s, T: _nn_query(s, T, target, order, starts, gmin, dims,
+                               cell, max_occ),
+        src_tiles, n_src, target, max_corr)
+    return _kabsch_loop(corr_stats, n_src, T0, relative_fitness,
+                        relative_rmse, max_iteration)
 
-        converged = (
-            (it > 0)
-            & (jnp.abs(fitness - prev_f) < relative_fitness)
-            & (jnp.abs(rmse - prev_r) < relative_rmse)
-        )
-        done = converged | (n_in < 3)
-        return (T_new, fitness, rmse, it + 1, done)
 
-    init = (
-        T0.astype(jnp.float64),
-        jnp.float32(0.0),
-        jnp.float32(0.0),
-        jnp.int32(0),
-        jnp.bool_(False),
-    )
-    T, _, _, _, _ = jax.lax.while_loop(cond, body, init)
-    n_in, sse, _, _, _ = corr_stats(T)
-    fitness = (n_in / jnp.maximum(n_src, 1)).astype(jnp.float32)
-    rmse = jnp.sqrt(
-        sse / jnp.maximum(n_in, 1).astype(jnp.float32)
-    ).astype(jnp.float32)
-    return T, fitness, rmse, n_in
+@partial(jax.jit, static_argnames=("max_iteration",))
+def _icp_level_device_voro_tiled(
+    src_tiles, n_src, target, ids, gmin, dims, cell, max_corr, T0,
+    relative_fitness, relative_rmse, max_iteration: int,
+):
+    """Tiled ICP level with the Voronoi-field query."""
+    corr_stats = _corr_stats_tiled(
+        lambda s, T: _nn_query_voro(s, T, target, ids, gmin, dims, cell),
+        src_tiles, n_src, target, max_corr)
+    return _kabsch_loop(corr_stats, n_src, T0, relative_fitness,
+                        relative_rmse, max_iteration)
 
 
 _icp_level_vmapped_shared_tiled = jax.jit(
@@ -821,6 +999,22 @@ _icp_level_vmapped_shared_tiled = jax.jit(
                  None, None),
     ),
     static_argnums=(12, 13),
+)
+
+_icp_level_vmapped_voro = jax.jit(
+    jax.vmap(
+        _icp_level_device_voro,
+        in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, None),
+    ),
+    static_argnums=(11,),
+)
+
+_icp_level_vmapped_voro_tiled = jax.jit(
+    jax.vmap(
+        _icp_level_device_voro_tiled,
+        in_axes=(0, 0, None, None, None, None, None, 0, 0, 0, 0, None),
+    ),
+    static_argnums=(11,),
 )
 
 
@@ -861,9 +1055,13 @@ def registration_icp_batch_shared(
     per_src_bytes = n_pad * 3 * 4
     chunk = max(int(max_stack_bytes // max(per_src_bytes, 1)), 1)
 
+    voro = isinstance(grid, VoroNN)
     tgt = jnp.asarray(grid.target)
-    order = jnp.asarray(grid.order)
-    starts = jnp.asarray(grid.starts)
+    if voro:
+        ids = jnp.asarray(grid.ids)
+    else:
+        order = jnp.asarray(grid.order)
+        starts = jnp.asarray(grid.starts)
     gmin = jnp.asarray(grid.gmin)
     dims = jnp.asarray(grid.dims)
 
@@ -891,16 +1089,25 @@ def registration_icp_batch_shared(
         if tiled:
             src_in = src.reshape(bs, n_pad // _VMAP_SRC_PAD_LIMIT,
                                  _VMAP_SRC_PAD_LIMIT, 3)
-            runner = _icp_level_vmapped_shared_tiled
         else:
             src_in = src
-            runner = _icp_level_vmapped_shared
-        T, fitness, rmse, n_in = runner(
-            jnp.asarray(src_in), jnp.asarray(n_src), tgt, order, starts,
-            gmin, dims,
-            jnp.float32(grid.cell), jnp.asarray(mc), jnp.asarray(T0),
-            jnp.asarray(rel_f), jnp.asarray(rel_r),
-            grid.max_occ, max_iter)
+        if voro:
+            runner = (_icp_level_vmapped_voro_tiled if tiled
+                      else _icp_level_vmapped_voro)
+            T, fitness, rmse, n_in = runner(
+                jnp.asarray(src_in), jnp.asarray(n_src), tgt, ids,
+                gmin, dims, jnp.float32(grid.cell), jnp.asarray(mc),
+                jnp.asarray(T0), jnp.asarray(rel_f), jnp.asarray(rel_r),
+                max_iter)
+        else:
+            runner = (_icp_level_vmapped_shared_tiled if tiled
+                      else _icp_level_vmapped_shared)
+            T, fitness, rmse, n_in = runner(
+                jnp.asarray(src_in), jnp.asarray(n_src), tgt, order, starts,
+                gmin, dims,
+                jnp.float32(grid.cell), jnp.asarray(mc), jnp.asarray(T0),
+                jnp.asarray(rel_f), jnp.asarray(rel_r),
+                grid.max_occ, max_iter)
         T, fitness, rmse, n_in = (np.asarray(x)
                                   for x in (T, fitness, rmse, n_in))
         out.extend(
