@@ -40,7 +40,7 @@ def main():
     T_cw = np.linalg.inv(np.linalg.inv(gt.extrinsics_cw[0])).astype(np.float32)
     T_cw = gt.extrinsics_cw[0].astype(np.float32)
 
-    slot_dist, ext, n_bucket = _prep_cache.get(vol)
+    slot_dist, ext, aabb, n_bucket = _prep_cache.get(vol)
     cfg = vol.cfg
 
     dirs_full = _ray_dirs(

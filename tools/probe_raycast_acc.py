@@ -27,7 +27,7 @@ def main():
     T_wc = np.linalg.inv(gt.extrinsics_cw[0])
     T_cw = np.linalg.inv(T_wc).astype(np.float32)
 
-    slot_dist, ext, n_bucket = _prep_cache.get(vol)
+    slot_dist, ext, aabb, n_bucket = _prep_cache.get(vol)
     cfg = vol.cfg
 
     # Full march at scale 4 (no pyramid), measure accuracy + d2 noise.

@@ -75,7 +75,7 @@ def main():
     vol = build_big_volume(n_blocks)
 
     t0 = time.perf_counter()
-    slot_dist, ext, n_bucket = rc._prep_cache.get(vol)
+    slot_dist, ext, aabb, n_bucket = rc._prep_cache.get(vol)
     jax.block_until_ready(ext)
     print(f"prepare_scene (n_bucket={n_bucket}): "
           f"{time.perf_counter() - t0:.1f}s  "

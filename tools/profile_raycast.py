@@ -44,7 +44,7 @@ def main():
     T_cw = np.linalg.inv(np.linalg.inv(gt.extrinsics_cw[0]))
     T_cw = gt.extrinsics_cw[0].astype(np.float32)
 
-    slot_dist, ext, n_bucket = rc._prep_cache.get(vol)
+    slot_dist, ext, aabb, n_bucket = rc._prep_cache.get(vol)
     cfg = vol.cfg
     Kj = jnp.asarray(K)[None]
     Rj = jnp.asarray(T_cw[:3, :3])[None]
