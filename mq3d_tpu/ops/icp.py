@@ -2,12 +2,22 @@
 
 Re-design of o3d.t.pipelines.registration.{multi_scale_icp,
 evaluate_registration, get_information_matrix} (used by the reference at
-refine_fragment_poses.py:136-182).  KD-trees don't map to TPU; nearest
-neighbors use a **dense voxel bucket grid** over the target cloud (built
-host-side in one sort, queried on device): with cell size >= the search
-radius, the nearest in-radius neighbor is guaranteed to be in the 2x2x2
-cell neighborhood of the query, so each query is a fixed 8*K-candidate
-gather + masked argmin — TPU-shaped, no trees, no dynamic shapes.
+refine_fragment_poses.py:136-182).  KD-trees don't map to TPU; two
+tree-free NN structures serve different call profiles:
+
+- **CSR voxel bucket grid** (GridNN): exact in-radius nearest neighbor.
+  With cell size >= the search radius the true NN is inside the 2x2x2
+  cell neighborhood, so a query reduces 8 * max_occ candidates
+  incrementally — up to ~1024 gathers/point at production density.  Used
+  for single-pass exact stats (evaluate_registration, information
+  matrices) where it runs once, not per iteration.
+- **Discrete-Voronoi nearest-id field** (VoroNN): one device scatter-min
+  build per target, then ~32 gathers/point/query (8 cells x 1 id +
+  3 coords).  The returned neighbor is within O(cell) of the true
+  nearest — the iterated ICP correspondence pass tolerates this (cf.
+  Open3D hybrid search), and the ~30x cheaper query is what keeps the
+  batched O(F^2) pair refinement launches short.  Used for every ICP
+  iteration loop.
 
 Transform estimation is point-to-point Umeyama/Kabsch: the device pass
 reduces masked correspondence sums (centroids, cross-covariance, rmse), the

@@ -113,10 +113,40 @@ def prepare_scene(cfg: TSDFConfig, state: TSDFState, n_bucket: int):
         )
         ext = ext.at[(slice(None),) + dst].set(val)
 
-    ext_flat = jnp.concatenate(
-        [ext.reshape(-1), jnp.full((1,), _SENTINEL, _F32)]
+    # Pack overlapping z-pairs: entry (b, x, y, z) holds f16(v[z]) in the
+    # low half and f16(v[z+1]) in the high half of one uint32 (z+1 == 17
+    # reads the sentinel).  Any trilinear cell's 8 corners are then 4
+    # gathers — the corners differ in z by exactly one — and the march
+    # unpacks the low half only.  f16 tsdf loses ~5e-4 of the truncation
+    # band near |v|=1 and far less near the zero crossing the refine
+    # interpolates (f16 absolute resolution shrinks with magnitude):
+    # ~0.03 mm worst-case on surface position at trunc = 10 voxels.
+    nxt = jnp.concatenate(
+        [ext[..., 1:], jnp.full_like(ext[..., :1], _SENTINEL)], axis=-1
     )
-    return slot_dist, ext_flat
+    lo16 = jax.lax.bitcast_convert_type(
+        ext.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    hi16 = jax.lax.bitcast_convert_type(
+        nxt.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    pair = lo16 | (hi16 << 16)
+    sent16 = jax.lax.bitcast_convert_type(
+        jnp.float16(_SENTINEL), jnp.uint16).astype(jnp.uint32)
+    ext_flat = jnp.concatenate(
+        [pair.reshape(-1), (sent16 | (sent16 << 16))[None]]
+    )
+
+    # World-space AABB of the active blocks (one voxel of pad): rays are
+    # clipped to their [entry, exit] span, so misses and empty approach
+    # retire in a few steps instead of marching to the global t_max.
+    vs = cfg.voxel_size
+    big = jnp.int32(1 << 28)
+    c_lo = jnp.where(in_range[:, None], coords, big).min(0)
+    c_hi = jnp.where(in_range[:, None], coords, -big).max(0) + 1
+    aabb = jnp.stack([
+        c_lo.astype(_F32) * (R * vs) - vs,
+        c_hi.astype(_F32) * (R * vs) + vs,
+    ])
+    return slot_dist, ext_flat, aabb
 
 
 def _sample_ids(cfg: TSDFConfig, n_bucket: int, slot_dist, g):
@@ -136,8 +166,20 @@ def _sample_ids(cfg: TSDFConfig, n_bucket: int, slot_dist, g):
     return idx, sd
 
 
+def _unpack_lo(u):
+    """Low f16 of a packed z-pair -> f32."""
+    return jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(_F32)
+
+
+def _unpack_hi(u):
+    return jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.float16).astype(_F32)
+
+
 def _trilinear(cfg: TSDFConfig, n_bucket: int, slot_dist, ext, p):
-    """Trilinear tsdf at world points (..., 3): 1 slot + 8 value gathers.
+    """Trilinear tsdf at world points (..., 3): 1 slot + 4 z-pair gathers
+    (each packed entry carries the two z-adjacent corners).
     Returns (value, valid)."""
     gf = p / cfg.voxel_size
     g0 = jnp.floor(gf).astype(jnp.int32)
@@ -146,17 +188,23 @@ def _trilinear(cfg: TSDFConfig, n_bucket: int, slot_dist, ext, p):
 
     acc = jnp.zeros(p.shape[:-1], _F32)
     valid = sd >= 0
-    for c in range(8):
-        dx, dy, dz = (c >> 2) & 1, (c >> 1) & 1, c & 1
-        off = (dx * _EXT + dy) * _EXT + dz
-        v = ext[idx0 + off]
-        ok = v < 1.5
-        w = (
+    wz1 = frac[..., 2]
+    wz0 = 1 - wz1
+    for c in range(4):
+        dx, dy = (c >> 1) & 1, c & 1
+        off = (dx * _EXT + dy) * _EXT
+        pv = ext[idx0 + off]
+        v0 = _unpack_lo(pv)
+        v1 = _unpack_hi(pv)
+        ok = (v0 < 1.5) & (v1 < 1.5)
+        wxy = (
             jnp.where(dx, frac[..., 0], 1 - frac[..., 0])
             * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
-            * jnp.where(dz, frac[..., 2], 1 - frac[..., 2])
         )
-        acc = acc + w * jnp.where(ok, v, 0.0)
+        acc = acc + wxy * (
+            wz0 * jnp.where(v0 < 1.5, v0, 0.0)
+            + wz1 * jnp.where(v1 < 1.5, v1, 0.0)
+        )
         valid &= ok
     return acc, valid
 
@@ -185,7 +233,7 @@ def _march(cfg, slot_dist, ext, n_bucket, origins, dirs, t_init, t_min,
         p = origins + dirs * t[:, None]
         g = jnp.round(p / vs).astype(jnp.int32)
         idx, sd = _sample_ids(cfg, n_bucket, slot_dist, g)
-        v = ext[idx]
+        v = _unpack_lo(ext[idx])
         valid = (sd >= 0) & (v < 1.5)
 
         crossed = active & valid & prev_ok & (prev_v > 0) & (v <= 0)
@@ -330,6 +378,7 @@ def _render_frames(
     cfg: TSDFConfig,
     slot_dist,
     ext,
+    aabb,  # (2, 3) f32 world AABB of active blocks
     n_bucket: int,
     K,  # (F, 3, 3) f32
     Rcw,  # (F, 3, 3) f32 camera-to-world rotations
@@ -350,6 +399,21 @@ def _render_frames(
     vs = cfg.voxel_size
     pad = 3.0 * vs
 
+    def ray_aabb_span(origins, dirs):
+        """Slab test against the active-block AABB in t units (dirs are
+        unnormalized K^-1 (u,v,1), so t == z-depth like everything else).
+        Returns (t_enter, t_exit); t_exit < t_enter means the ray misses
+        the volume entirely."""
+        safe = jnp.where(
+            jnp.abs(dirs) < 1e-12,
+            jnp.where(dirs >= 0, 1e-12, -1e-12), dirs)
+        inv = 1.0 / safe
+        t1 = (aabb[0][None] - origins) * inv
+        t2 = (aabb[1][None] - origins) * inv
+        t_en = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        t_ex = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        return t_en, t_ex
+
     scales = []
     s = 8
     while s > 1 and (width % s or height % s):
@@ -367,9 +431,14 @@ def _render_frames(
         origins = jnp.broadcast_to(
             origin[:, None, None, :], (F, h_l, w_l, 3)
         ).reshape(-1, 3)
+        # Clip every ray to its AABB span: misses retire after one step
+        # (far < start) and hits start marching at the volume boundary.
+        t_en, t_ex = ray_aabb_span(origins, dirs)
+        t0 = jnp.maximum(t_init_flat, jnp.maximum(t_en - vs, t_min))
+        t_hi = jnp.minimum(t_ex + vs, t_max)
         found, ta, tb, va, vb = _march(
-            cfg, slot_dist, ext, n_bucket, origins, dirs, t_init_flat,
-            t_min, t_max, max_iter,
+            cfg, slot_dist, ext, n_bucket, origins, dirs, t0,
+            t_min, t_hi, max_iter,
         )
         t_hit = _refine(
             cfg, slot_dist, ext, n_bucket, origins, dirs, found, ta, tb,
@@ -494,9 +563,18 @@ def _render_frames(
         origins_e = origin[fidx]
         # Dead lanes (beyond the live edge count) get far bound < start so
         # the while_loop retires them on iteration one instead of marching
-        # duplicate rays for the full budget.
-        t0_e = jnp.where(live, t0_full[ids_safe], t_min)
-        t_hi_e = jnp.where(live, t_hi_full[ids_safe], t_min - 1.0)
+        # duplicate rays for the full budget.  Live lanes additionally
+        # clip to the active-block AABB span: edge pixels bordering a
+        # background miss otherwise march to the global t_max.
+        t_en_e, t_ex_e = ray_aabb_span(origins_e, dirs_e)
+        t0_e = jnp.where(
+            live,
+            jnp.maximum(t0_full[ids_safe], jnp.maximum(t_en_e - vs, t_min)),
+            t_min)
+        t_hi_e = jnp.where(
+            live,
+            jnp.minimum(t_hi_full[ids_safe], t_ex_e + vs),
+            t_min - 1.0)
 
         # With per-ray [t0, t_hi] windows most lanes retire in a few
         # iterations; the budget only caps stragglers (which keep their
@@ -546,8 +624,9 @@ class _ScenePrep:
             while n_bucket < volume.n_active:
                 n_bucket *= 2
             n_bucket = min(n_bucket, volume.cfg.block_count)
-            slot_dist, ext = prepare_scene(volume.cfg, volume.state, n_bucket)
-            self._value = (slot_dist, ext, n_bucket)
+            slot_dist, ext, aabb = prepare_scene(
+                volume.cfg, volume.state, n_bucket)
+            self._value = (slot_dist, ext, aabb, n_bucket)
             self._vol_ref = weakref.ref(volume)
             self._version = volume._state_version
         return self._value
@@ -573,7 +652,7 @@ def _render_frames_device(
     host readback (the tunneled readback is comparable to the compute)."""
     cfg = volume.cfg
     t_max = t_max if t_max is not None else cfg.depth_max * 1.5
-    slot_dist, ext, n_bucket = _prep_cache.get(volume)
+    slot_dist, ext, aabb, n_bucket = _prep_cache.get(volume)
 
     T_cw = np.linalg.inv(np.asarray(extrinsics_wc, np.float64)).astype(
         np.float32
@@ -585,7 +664,7 @@ def _render_frames_device(
     # 1/z-upsampled value, they are not lost.
     edge_cap = max(F * width * height // 16, 4096)
     return _render_frames(
-        cfg, slot_dist, ext, n_bucket,
+        cfg, slot_dist, ext, aabb, n_bucket,
         jnp.asarray(intrinsics, _F32),
         jnp.asarray(T_cw[:, :3, :3]),
         jnp.asarray(np.ascontiguousarray(T_cw[:, :3, 3])),

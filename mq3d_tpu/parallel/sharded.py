@@ -342,6 +342,70 @@ def sharded_confidence_step(mesh: Mesh, axis: str = "data"):
     return build
 
 
+def sharded_raycast_batch(
+    volume,
+    mesh: Mesh,
+    intrinsics: np.ndarray,  # (F, 3, 3), cx already mirror-flipped
+    extrinsics_wc: np.ndarray,  # (F, 4, 4)
+    width: int,
+    height: int,
+    axis: str = "data",
+    t_min: float = 0.05,
+    t_max: float | None = None,
+    edge_eps: float = 1e-3,
+):
+    """Multi-chip color-aligned depth raycast: frames data-parallel over
+    the mesh (reference renders frames serially through one Embree scene,
+    o3d_utils.py:324-341).
+
+    The scene tables (slot_dist/ext/AABB) replicate — they are read-only
+    and a fraction of HBM — and each device runs the full coherent
+    pyramid on its own frame shard with a PER-DEVICE edge cap, so the
+    edge compaction (cumsum + scatter) stays chip-local and no
+    cross-chip gathers are emitted.  Only the scalar overflow count is
+    psum'd.  Bitwise identical to the single-chip render of the same
+    frames when no edge budget overflows (each pixel's march is
+    independent; the cap only bounds how many march).
+
+    Returns ((F, height, width) z-depth, total overflow count).
+    """
+    from mq3d_tpu.ops.raycast import _prep_cache, _render_frames
+
+    cfg = volume.cfg
+    t_max_v = t_max if t_max is not None else cfg.depth_max * 1.5
+    slot_dist, ext, aabb, n_bucket = _prep_cache.get(volume)
+    n_dev = mesh.devices.size
+    F = intrinsics.shape[0]
+    if F % n_dev:
+        raise ValueError(f"frame count {F} not divisible by mesh size {n_dev}")
+    T_cw = np.linalg.inv(np.asarray(extrinsics_wc, np.float64)).astype(
+        np.float32)
+    edge_cap = max((F // n_dev) * width * height // 16, 4096)
+
+    def local(sd, e, ab, K_l, R_l, o_l):
+        z, overflow = _render_frames(
+            cfg, sd, e, ab, n_bucket, K_l, R_l, o_l,
+            jnp.float32(t_min), jnp.float32(t_max_v),
+            width, height, edge_cap, jnp.float32(edge_eps),
+        )
+        return z, jax.lax.psum(overflow, axis)
+
+    fn = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    ))
+    z, overflow = fn(
+        slot_dist, ext, aabb,
+        jnp.asarray(np.asarray(intrinsics, np.float32)),
+        jnp.asarray(T_cw[:, :3, :3]),
+        jnp.asarray(np.ascontiguousarray(T_cw[:, :3, 3])),
+    )
+    return np.asarray(z), int(np.asarray(overflow))
+
+
 def integrate_dataset_sharded(
     cfg: TSDFConfig,
     mesh: Mesh,

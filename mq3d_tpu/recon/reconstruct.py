@@ -43,8 +43,10 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
     # Step 0: dataset generation
     if not config.use_dataset_cache:
         for side in Side:
-            data_io.depth.load_depth_dataset(side=side, use_cache=False)
-            data_io.color.load_color_dataset(side=side, use_cache=False)
+            with substep(f"build_depth_dataset[{side.name}]"):
+                data_io.depth.load_depth_dataset(side=side, use_cache=False)
+            with substep(f"build_color_dataset[{side.name}]"):
+                data_io.color.load_color_dataset(side=side, use_cache=False)
 
     # Step 1: depth confidence estimation
     if config.estimate_depth_confidences:

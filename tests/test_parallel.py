@@ -85,6 +85,49 @@ class TestShardedTSDF:
         ge.dryrun_multichip(8)
 
 
+class TestShardedRaycast:
+    def test_matches_single_chip(self, mesh8):
+        """Frame-sharded raycast == single-chip render, bit-exact (no
+        overflow at these sizes; each pixel's march is independent)."""
+        from mq3d_tpu.ops.raycast import raycast_depth_batch
+        from mq3d_tpu.parallel.sharded import sharded_raycast_batch
+
+        # Smooth plane (no noise): keeps the edge set sparse so NEITHER
+        # path overflows its cap — overflowed pixels keep interpolated
+        # depth and the single-chip global cap truncates later frames
+        # first, which is exactly the per-device-cap advantage, not a
+        # mismatch this test should fail on.
+        depth, K, T, valid = make_frames(16)
+        depth[:] = 2.0
+        state = integrate_dataset_sharded(
+            CFG, mesh8, depth, K, T, valid, frames_per_device_chunk=2)
+        vol = TSDFVolume(CFG, state)
+        assert vol.n_active > 0
+
+        h, w = 48, 64
+        Kc = np.tile(np.eye(3, dtype=np.float32), (8, 1, 1))
+        Kc[:, 0, 0] = Kc[:, 1, 1] = 45.0
+        Kc[:, 0, 2] = w / 2.0
+        Kc[:, 1, 2] = h / 2.0
+        Tc = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+        Tc[:, 0, 3] = np.linspace(-0.2, 0.2, 8)
+
+        want = raycast_depth_batch(vol, Kc, Tc, w, h)
+        got, overflow = sharded_raycast_batch(vol, mesh8, Kc, Tc, w, h)
+        assert overflow == 0
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+        assert np.isfinite(got).mean() > 0.3
+
+    def test_rejects_ragged_frames(self, mesh8):
+        from mq3d_tpu.parallel.sharded import sharded_raycast_batch
+
+        vol = TSDFVolume(CFG, create_state(CFG))
+        K = np.tile(np.eye(3, dtype=np.float32), (3, 1, 1))
+        T = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        with pytest.raises(ValueError):
+            sharded_raycast_batch(vol, mesh8, K, T, 32, 32)
+
+
 class TestShardedConfidence:
     def test_matches_single_device(self, mesh8, tmp_path):
         import numpy as np
