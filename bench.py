@@ -169,9 +169,11 @@ def bench_e2e(tmp="/tmp/bench_e2e"):
     write_synthetic_project(proj, SyntheticSceneConfig(n_frames=16))
     cfg = yaml.safe_load(Path("config/pipeline_config_batch.yml").read_text())
     rec = cfg["reconstruction"]
-    rec["voxel_size"] = 0.05
-    rec["block_count"] = 4096
+    # Volume scale lives under the two integration sub-configs, not at the
+    # reconstruction top level (configs.py).
     for k in ("fragment_pose_refinement", "depth_integration"):
+        rec[k]["voxel_size"] = 0.05
+        rec[k]["block_count"] = 4096
         rec[k]["use_confidence_filtered_depth"] = False
     for k in ("estimate_depth_confidences", "optimize_depth_pose",
               "optimize_color_pose", "render_color_aligned_depth"):

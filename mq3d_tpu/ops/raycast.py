@@ -371,7 +371,9 @@ def _ray_dirs(K, Rcw, s, h_l, w_l):
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "n_bucket", "width", "height", "edge_cap", "fine_march_iters"
+        "cfg", "n_bucket", "width", "height", "edge_cap", "fine_march_iters",
+        "edge_frac_full", "edge_frac_mid", "refine_samples_fine",
+        "refine_iters_fine", "base_march_iters",
     ),
 )
 def _render_frames(
@@ -390,6 +392,11 @@ def _render_frames(
     edge_cap: int,
     edge_eps,
     fine_march_iters: int = 14,
+    edge_frac_full: int = 20,
+    edge_frac_mid: int = 32,
+    refine_samples_fine: int = 3,
+    refine_iters_fine: int = 1,
+    base_march_iters: int = 64,
 ):
     """Full coherent pyramid for a batch of frames in ONE launch.
 
@@ -461,7 +468,7 @@ def _render_frames(
     s0 = scales[0]
     h0, w0 = level_shape(s0)
     z = march_refine_full(
-        s0, jnp.full((F * h0 * w0,), t_min, _F32), 64
+        s0, jnp.full((F * h0 * w0,), t_min, _F32), base_march_iters
     )
     fine_scales = scales[1:]
 
@@ -476,7 +483,7 @@ def _render_frames(
         # critical.
         # Full res skips the band dilation (above), so 1/24 of the pixels
         # bounds its edge set where 1/16 was needed for the dilated band.
-        frac = 20 if s == 1 else 32
+        frac = edge_frac_full if s == 1 else edge_frac_mid
         cap_l = min(max(F * h_l * w_l // frac, 4096), edge_cap)
 
         # Planarity/validity on the parent: a pixel is an "edge" if any 3x3
@@ -591,7 +598,7 @@ def _render_frames(
         # room), at 2/3 the gathers of the hot full-res refine.
         t_hit_e = _refine(
             cfg, slot_dist, ext, n_bucket, origins_e, dirs_e, found, ta, tb,
-            va, vb, n_samples=3, n_iters=1,
+            va, vb, n_samples=refine_samples_fine, n_iters=refine_iters_fine,
         )
         z = (
             z_up.reshape(-1)

@@ -127,6 +127,18 @@ def _keys_to_coords(keys, G: int):
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("n_b",))
+def _slice_active_jit(state: "TSDFState", n_b: int):
+    """Fused readback slice: coords/tsdf/weight of the first n_b slots in
+    ONE launch (three separate `x[:n]` ops would each pay the tunneled
+    launch cost)."""
+    return (
+        state.block_coords[:n_b],
+        state.tsdf[:n_b],
+        state.weight[:n_b],
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def integrate_chunk(
     cfg: TSDFConfig,
@@ -373,9 +385,10 @@ def _extract_points_jit(
     wgt_all = state.weight
 
     axes_e = np.eye(3, dtype=np.int32)
+    R3 = R * R * R
 
-    # Local voxel coordinates of a tile: (R^3,) each.
-    lx = jnp.asarray(_voxel_offsets(R))  # (R^3, 3)
+    # Local voxel coordinates of a tile: (R^3,) per component.
+    lx_comp = [jnp.asarray(_voxel_offsets(R)[:, c]) for c in range(3)]
 
     def tile_body(t, carry):
         out_p, out_n, total = carry
@@ -406,7 +419,9 @@ def _extract_points_jit(
             )
             return up - dn
 
-        normal = jnp.stack([grad(0), grad(1), grad(2)], axis=-1)  # (TB,R,R,R,3)
+        # Per-component gradient fields: stacking into (TB,R,R,R,3) would
+        # get a T(8,128) layout whose minor 3-dim pads 42.7x in HBM.
+        grad_comp = [grad(0), grad(1), grad(2)]  # 3 x (TB,R,R,R)
 
         for axis in range(3):
             nb_coords = coords + jnp.asarray(axes_e[axis])
@@ -440,22 +455,24 @@ def _extract_points_jit(
             denom = a - b
             frac = jnp.where(jnp.abs(denom) > 1e-20, a / jnp.where(denom == 0, 1.0, denom), 0.5)
 
-            base = (coords * R)[:, None, :] + lx[None, :, :]  # (TB, R^3, 3)
-            pos = base.astype(jnp.float32).reshape(TB, R, R, R, 3)
-            pos = pos.at[..., axis].add(jnp.clip(frac, 0.0, 1.0))
-            pos = pos * vs
+            frac2 = jnp.clip(frac, 0.0, 1.0).reshape(TB, R3)
 
             flat_cross = cross.reshape(-1)
             rank = jnp.cumsum(flat_cross.astype(jnp.int32))
             idx = jnp.where(flat_cross, total + rank - 1, max_points)
             idx = jnp.where(idx < max_points, idx, max_points)
-            # Flat (3*(max_points+1),) buffers: (N, 3) would be layout-padded
-            # 42.7x in HBM (see _extract_mesh_jit).
-            idx3 = (idx[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :])
-            out_p = out_p.at[idx3.reshape(-1)].set(pos.reshape(-1), mode="drop")
-            out_n = out_n.at[idx3.reshape(-1)].set(
-                normal.reshape(-1), mode="drop"
-            )
+            # Flat (3*(max_points+1),) buffers, one scatter per component:
+            # (N, 3)-shaped temps would be layout-padded 42.7x in HBM (see
+            # the layout note in _extract_mesh_jit).
+            for c in range(3):
+                comp = (coords[:, c:c + 1] * R
+                        + lx_comp[c][None, :]).astype(jnp.float32)  # (TB,R3)
+                if c == axis:
+                    comp = comp + frac2
+                out_p = out_p.at[idx * 3 + c].set(
+                    (comp * vs).reshape(-1), mode="drop")
+                out_n = out_n.at[idx * 3 + c].set(
+                    grad_comp[c].reshape(-1), mode="drop")
             total = total + rank[-1]
 
         return (out_p, out_n, total)
@@ -495,12 +512,19 @@ def _extract_mesh_jit(
     from mq3d_tpu.ops.mc_tables import CORNERS, build_tables, edge_owner
 
     tri_table, _ = build_tables()
-    tri_table_dev = jnp.asarray(tri_table[:, :15].reshape(256, 5, 3))  # edge ids
-    owner = edge_owner()  # (12, 4): (dx, dy, dz, axis)
-    owner_dev = jnp.asarray(owner.astype(np.int32))
+    # Layout note: every per-cube intermediate in the triangle pass is kept
+    # 1-D (or has the large cube axis minormost).  Shapes like
+    # (n_cubes, 5, 3, 3) get a T(8,128) tiled layout whose two minor dims
+    # pad 8x/42x each — measured 68x HBM expansion (28 GB for a 425 MB
+    # working set) and an OOM at production scale.  So: flat gather tables,
+    # per-component arithmetic, 1-D scatters.
+    tri_table_flat = jnp.asarray(
+        tri_table[:, :15].reshape(-1).astype(np.int32))  # (256*15,)
+    owner = edge_owner().astype(np.int32)  # (12, 4): (dx, dy, dz, axis)
+    owner_comp = [jnp.asarray(owner[:, c]) for c in range(4)]  # 4 x (12,)
     corners_np = CORNERS  # (8, 3)
 
-    lx = jnp.asarray(_voxel_offsets(R))  # (R^3, 3) local voxel coords
+    lx_comp = [jnp.asarray(_voxel_offsets(R)[:, c]) for c in range(3)]
 
     neighbor_offsets = [
         (1, 0, 0), (0, 1, 0), (0, 0, 1),
@@ -548,6 +572,11 @@ def _extract_mesh_jit(
             return 0
         return 1 + neighbor_offsets.index(off)
 
+    # (8,) lookup table: over_x*4 + over_y*2 + over_z -> nb_slots column.
+    nb_code_table = jnp.asarray(
+        [nb_index((x, y, z)) for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        jnp.int32)
+
     def edge_key(slot, voxel_flat, axis):
         return ((slot * R3 + voxel_flat) << 2) | axis
 
@@ -571,10 +600,7 @@ def _extract_mesh_jit(
             denom = t0 - t1
             frac = jnp.where(jnp.abs(denom) > 1e-20,
                              t0 / jnp.where(denom == 0, 1.0, denom), 0.5)
-            base = (coords * R)[:, None, :] + lx[None, :, :]
-            pos = base.astype(jnp.float32).reshape(TB, R, R, R, 3)
-            pos = pos.at[..., axis].add(jnp.clip(frac, 0.0, 1.0))
-            pos = pos * vs
+            frac2 = jnp.clip(frac, 0.0, 1.0).reshape(TB, R3)
             keys = edge_key(
                 slots_self[:, None], jnp.arange(R3, dtype=jnp.int32)[None, :],
                 axis,
@@ -584,12 +610,16 @@ def _extract_mesh_jit(
             rank = jnp.cumsum(flat_cross.astype(jnp.int32))
             idx = jnp.where(flat_cross, nv + rank - 1, max_verts)
             idx = jnp.minimum(idx, max_verts)
-            # out_v is flat (3*(max_verts+1),): a (N, 3) f32 buffer would get
-            # a T(8,128) padded layout (42.7x HBM expansion at 4M verts).
-            idx3 = (idx[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :])
-            out_v = out_v.at[idx3.reshape(-1)].set(
-                pos.reshape(-1), mode="drop"
-            )
+            # out_v is flat (3*(max_verts+1),) and positions scatter one
+            # component at a time: (N, 3)-shaped position/index temps would
+            # get a T(8,128) padded layout (42.7x HBM expansion).
+            for c in range(3):
+                comp = (coords[:, c:c + 1] * R
+                        + lx_comp[c][None, :]).astype(jnp.float32)  # (TB,R3)
+                if c == axis:
+                    comp = comp + frac2
+                out_v = out_v.at[idx * 3 + c].set(
+                    (comp * vs).reshape(-1), mode="drop")
             out_vk = out_vk.at[idx].set(keys.reshape(-1), mode="drop")
             nv = nv + rank[-1]
 
@@ -609,45 +639,55 @@ def _extract_mesh_jit(
             config = config | ((corner_t[k] < 0).astype(jnp.int32) << k)
         config = jnp.where(cube_ok, config, 0)
 
-        tri_e = tri_table_dev[config.reshape(-1)]  # (TB*R^3, 5, 3) edge ids, -1 pad
-
-        # Edge id -> owner key. Owner voxel = cube voxel + owner_start; when
-        # a component overflows R-1 the owner lives in the face/edge neighbor.
+        # Edge id -> owner key, all on flat (n_cubes,) component arrays
+        # (see the layout note at tri_table_flat).  Owner voxel = cube
+        # voxel + owner_start; when a component overflows R-1 the owner
+        # lives in the face/edge neighbor.
         n_cubes = TB * R3
-        vox = jnp.broadcast_to(lx[None, :, :], (TB, R3, 3)).reshape(-1, 3)
+        config_flat = config.reshape(-1)
+        vox_c = [
+            jnp.broadcast_to(lx_comp[c][None, :], (TB, R3)).reshape(-1)
+            for c in range(3)
+        ]
         blk = jnp.repeat(jnp.arange(TB, dtype=jnp.int32), R3)
+        nb_flat = nb_slots.reshape(-1)  # (TB*8,)
 
-        e_safe = jnp.maximum(tri_e, 0)
-        ostart = owner_dev[e_safe][..., :3]  # (N, 5, 3, 3)
-        oaxis = owner_dev[e_safe][..., 3]  # (N, 5, 3)
-        ovox = vox[:, None, None, :] + ostart  # (N, 5, 3, 3)
-        over = (ovox >= R).astype(jnp.int32)  # 0/1 per component
-        local = ovox - over * R
-        # Neighbor index from the overflow pattern (0 = self block).
-        nb_idx = jnp.zeros(over.shape[:-1], jnp.int32)
-        for off in neighbor_offsets:
-            match = (
-                (over[..., 0] == off[0]) & (over[..., 1] == off[1])
-                & (over[..., 2] == off[2])
-            )
-            nb_idx = jnp.where(match, nb_index(off), nb_idx)
-        nsc = jnp.broadcast_to(
-            nb_slots[blk][:, None, None, :], (n_cubes, 5, 3, 8)
-        )
-        owner_slot = jnp.take_along_axis(nsc, nb_idx[..., None], axis=-1)[..., 0]
-        local_flat = (local[..., 0] * R + local[..., 1]) * R + local[..., 2]
-        tri_keys = edge_key(owner_slot, local_flat, oaxis)
+        tri_key_cols = []  # 3 x 5 x (n_cubes,) vertex keys
+        tri_valid_cols = []  # 5 x (n_cubes,)
+        for s in range(5):
+            slot_cols = []
+            key_cols = []
+            e0 = None
+            for j in range(3):
+                e = tri_table_flat[config_flat * 15 + s * 3 + j]
+                if j == 0:
+                    e0 = e
+                es = jnp.maximum(e, 0)
+                oc = [owner_comp[c][es] for c in range(4)]
+                over_code = jnp.zeros((n_cubes,), jnp.int32)
+                local_flat = jnp.zeros((n_cubes,), jnp.int32)
+                for c in range(3):
+                    ov = vox_c[c] + oc[c]
+                    over = (ov >= R).astype(jnp.int32)
+                    over_code = over_code * 2 + over
+                    local_flat = local_flat * R + (ov - over * R)
+                owner_slot = nb_flat[blk * 8 + nb_code_table[over_code]]
+                slot_cols.append(owner_slot)
+                key_cols.append(edge_key(owner_slot, local_flat, oc[3]))
+            valid = (e0 >= 0)
+            for sc in slot_cols:
+                valid = valid & (sc >= 0)
+            tri_valid_cols.append(valid)
+            tri_key_cols.append(key_cols)
 
-        tri_valid = (tri_e[..., 0] >= 0) & (owner_slot >= 0).all(-1)  # (N, 5)
-        flat_tri = tri_valid.reshape(-1)
+        flat_tri = jnp.concatenate(tri_valid_cols)  # (5*n_cubes,)
         rankt = jnp.cumsum(flat_tri.astype(jnp.int32))
         idxt = jnp.where(flat_tri, nt + rankt - 1, max_tris)
         idxt = jnp.minimum(idxt, max_tris)
-        # Flat (3*(max_tris+1),) buffer for the same layout reason as out_v.
-        idxt3 = (idxt[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :])
-        out_tk = out_tk.at[idxt3.reshape(-1)].set(
-            tri_keys.reshape(-1), mode="drop"
-        )
+        # Flat (3*(max_tris+1),) buffer, one scatter per triangle corner.
+        for j in range(3):
+            kj = jnp.concatenate([tri_key_cols[s][j] for s in range(5)])
+            out_tk = out_tk.at[idxt * 3 + j].set(kj, mode="drop")
         nt = nt + rankt[-1]
 
         return (out_v, out_vk, out_tk, nv, nt)
@@ -797,15 +837,30 @@ class TSDFVolume:
 
     # -- persistence ---------------------------------------------------------------
 
+    def _fetch_active(self):
+        """One fused device slice + transfer of the active-slot coords/tsdf/
+        weight (each `state.x[:n]` is its own XLA launch, and under a
+        tunneled runtime every launch of a large-footprint program pays a
+        constant multi-second penalty — see TODO.md; n is bucketed to the
+        next power of two so the executable count stays O(log capacity))."""
+        n = self.n_active
+        n_b = 64
+        while n_b < n:
+            n_b *= 2
+        n_b = min(n_b, self.cfg.block_count)
+        coords, tsdf, weight = jax.device_get(
+            _slice_active_jit(self.state, n_b))
+        return coords[:n], tsdf[:n], weight[:n]
+
     def save(self, path: Path):
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        n = self.n_active
+        coords, tsdf, weight = self._fetch_active()
         np.savez_compressed(
             path,
-            block_coords=np.asarray(self.state.block_coords[:n]),
-            tsdf=np.asarray(self.state.tsdf[:n]),
-            weight=np.asarray(self.state.weight[:n]),
+            block_coords=coords,
+            tsdf=tsdf,
+            weight=weight,
             voxel_size=self.cfg.voxel_size,
             block_resolution=self.cfg.block_resolution,
             grid_dim=self.cfg.grid_dim,
@@ -836,11 +891,12 @@ class TSDFVolume:
         path.parent.mkdir(parents=True, exist_ok=True)
         n = self.n_active
         R = self.cfg.block_resolution
-        tsdf = np.asarray(self.state.tsdf[:n]).reshape(n, R, R, R)
-        weight = np.asarray(self.state.weight[:n]).reshape(n, R, R, R)
+        coords, tsdf, weight = self._fetch_active()
+        tsdf = tsdf.reshape(n, R, R, R)
+        weight = weight.reshape(n, R, R, R)
         np.savez_compressed(
             path,
-            key=np.asarray(self.state.block_coords[:n], np.int32),
+            key=np.asarray(coords, np.int32),
             attr_tsdf=tsdf.transpose(0, 3, 2, 1)[..., None]
             .astype(np.float32),
             attr_weight=weight.transpose(0, 3, 2, 1)[..., None]
@@ -1192,21 +1248,45 @@ class TSDFVolume:
         while n_bucket < self.n_active:
             n_bucket *= 2
         n_bucket = min(n_bucket, self.cfg.block_count)
-        sig = ("mesh", self.cfg, n_bucket, max_verts, max_tris)
-        if sig in _DEVICE_EXTRACT_FAILED:
-            raise RuntimeError("device extraction previously failed at this size")
-        try:
-            verts, tri_idx, nv, nt = _extract_mesh_jit(
-                self.cfg, self.state, jnp.float32(weight_threshold),
-                n_bucket, max_verts, max_tris,
-            )
-        except Exception as e:
-            # Remember deterministic failures: each retry would waste a
-            # ~100 s compile attempt (e.g. HBM OOM at over-sized capacities).
-            _cache_extract_failure(sig, e)
-            raise
+        # Occupancy-proportional buffers (see _extract_point_cloud_device):
+        # a surface block contributes ~3*R^2 welded vertices and ~2x that
+        # in triangles; retry at the ceiling if the estimate truncates.
+        R = self.cfg.block_resolution
+        v_ceil, t_ceil = max_verts, max_tris
+        cap_v = 4096
+        while cap_v < 8 * R * R * max(self.n_active, 1):
+            cap_v *= 2
+        max_verts = min(cap_v, v_ceil)
+        max_tris = min(2 * max_verts, t_ceil)
+
+        def run(max_verts, max_tris):
+            sig = ("mesh", self.cfg, n_bucket, max_verts, max_tris)
+            if sig in _DEVICE_EXTRACT_FAILED:
+                raise RuntimeError(
+                    "device extraction previously failed at this size")
+            try:
+                return _extract_mesh_jit(
+                    self.cfg, self.state, jnp.float32(weight_threshold),
+                    n_bucket, max_verts, max_tris,
+                )
+            except Exception as e:
+                # Remember deterministic failures: each retry would waste a
+                # ~100 s compile attempt (e.g. HBM OOM at over-sized
+                # capacities).
+                _cache_extract_failure(sig, e)
+                raise
+
+        verts, tri_idx, nv, nt = run(max_verts, max_tris)
         nv = fetch_int(nv)
         nt = fetch_int(nt)
+        if (nv > max_verts and max_verts < v_ceil) or (
+                nt > max_tris and max_tris < t_ceil):
+            while max_verts < min(nv, v_ceil) or max_tris < min(nt, t_ceil):
+                max_verts = min(2 * max_verts, v_ceil)
+                max_tris = min(2 * max_tris, t_ceil)
+            verts, tri_idx, nv, nt = run(max_verts, max_tris)
+            nv = fetch_int(nv)
+            nt = fetch_int(nt)
         if nv > max_verts or nt > max_tris:
             print(
                 f"[Warning] device mesh extraction truncated "
@@ -1238,21 +1318,43 @@ class TSDFVolume:
         while n_bucket < self.n_active:
             n_bucket *= 2
         n_bucket = min(n_bucket, self.cfg.block_count)
-        sig = ("points", self.cfg, n_bucket, max_points)
-        if sig in _DEVICE_EXTRACT_FAILED:
-            raise RuntimeError("device extraction previously failed at this size")
-        try:
-            pts, nrm, count = _extract_points_jit(
-                self.cfg, self.state, jnp.float32(weight_threshold),
-                n_bucket, max_points,
-            )
-        except Exception as e:
-            _cache_extract_failure(sig, e)
-            raise
+        # Size the output buffer by occupancy, not the config ceiling: a
+        # surface block yields ~R^2 crossings per axis, so 8*R^2*n_active
+        # comfortably bounds real scenes while keeping the device->host
+        # copy (and its tunnel cost) proportional to the scene.  If the
+        # conservative buffer still truncates, retry once at the ceiling.
+        R = self.cfg.block_resolution
+        ceiling = max_points
+        cap = 4096
+        while cap < 8 * R * R * max(self.n_active, 1):
+            cap *= 2
+        cap = min(cap, ceiling)
+
+        def run(cap):
+            sig = ("points", self.cfg, n_bucket, cap)
+            if sig in _DEVICE_EXTRACT_FAILED:
+                raise RuntimeError(
+                    "device extraction previously failed at this size")
+            try:
+                return _extract_points_jit(
+                    self.cfg, self.state, jnp.float32(weight_threshold),
+                    n_bucket, cap,
+                )
+            except Exception as e:
+                _cache_extract_failure(sig, e)
+                raise
+
+        pts, nrm, count = run(cap)
         c = fetch_int(count)
-        if c > max_points:
-            print(f"[Warning] point extraction truncated: {c} > {max_points}")
-            c = max_points
+        if c > cap and cap < ceiling:  # conservative buffer overflowed
+            while cap < min(c, ceiling):
+                cap *= 2
+            cap = min(cap, ceiling)
+            pts, nrm, count = run(cap)
+            c = fetch_int(count)
+        if c > cap:
+            print(f"[Warning] point extraction truncated: {c} > {cap}")
+            c = cap
         points = np.asarray(pts, np.float64).reshape(-1, 3)[:c]
         normals = np.asarray(nrm, np.float64).reshape(-1, 3)[:c]
         norm = np.linalg.norm(normals, axis=-1, keepdims=True)
