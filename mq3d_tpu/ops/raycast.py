@@ -652,11 +652,14 @@ def _render_frames_device(
     t_max: float | None = None,
     edge_eps: float = 1e-3,
     fine_march_iters: int = 14,
+    **knobs,
 ):
     """Dispatch one fused render launch; returns DEVICE arrays
     ((F, H, W) z-depth, overflow scalar) without blocking.  Callers that
     stream many batches overlap the next launch with the previous batch's
-    host readback (the tunneled readback is comparable to the compute)."""
+    host readback (the tunneled readback is comparable to the compute).
+    Extra static tuning knobs (edge_frac_full, refine_samples_fine, ...)
+    forward to _render_frames."""
     cfg = volume.cfg
     t_max = t_max if t_max is not None else cfg.depth_max * 1.5
     slot_dist, ext, aabb, n_bucket = _prep_cache.get(volume)
@@ -677,7 +680,7 @@ def _render_frames_device(
         jnp.asarray(np.ascontiguousarray(T_cw[:, :3, 3])),
         jnp.float32(t_min), jnp.float32(t_max),
         width, height, edge_cap, jnp.float32(edge_eps),
-        fine_march_iters=fine_march_iters,
+        fine_march_iters=fine_march_iters, **knobs,
     )
 
 

@@ -38,8 +38,24 @@ from mq3d_tpu.recon.depth_pose_optimizer import DepthPoseOptimizer
 from mq3d_tpu.recon.integrate import integrate
 from mq3d_tpu.utils.log import log_step, substep
 
+# Viewer-time accounting (reference protocol: reconstruct_scene prints
+# "[VIS] {COLORLESS,COLORED}_VIEW_SECONDS: <t>" lines that
+# run_full_pipeline.py:96,278 parses and subtracts from the adjusted
+# runtime).  Headless builds spend (near-)zero time here but emit the same
+# markers so subprocess drivers and runtime summaries stay byte-compatible;
+# LAST_VIEW_SECONDS carries the total for in-process callers.
+LAST_VIEW_SECONDS = 0.0
+
+
+def _emit_view_seconds(tag: str, seconds: float) -> None:
+    global LAST_VIEW_SECONDS
+    LAST_VIEW_SECONDS += seconds
+    print(f"[VIS] {tag}_VIEW_SECONDS: {seconds:.3f}")
+
 
 def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
+    global LAST_VIEW_SECONDS
+    LAST_VIEW_SECONDS = 0.0
     # Step 0: dataset generation
     if not config.use_dataset_cache:
         for side in Side:
@@ -106,10 +122,14 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
     with substep("save_colorless_pcd"):
         data_io.reconstruction.save_colorless_pcd(colorless_pcd)
     if config.visualize_colorless_pcd:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         print(
             "[Info] Headless build: colorless point cloud saved to "
             f"{data_io.path_config.reconstruction.get_colorless_pcd_path()}"
         )
+        _emit_view_seconds("COLORLESS", _time.perf_counter() - _t0)
 
     # Step 4: color map optimization
     optimized_color_dataset_map: Optional[Dict[Side, CameraDataset]] = None
@@ -150,6 +170,15 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
             )
         with substep("save_colored_mesh"):
             data_io.reconstruction.save_colored_mesh(colored_mesh)
+        if config.visualize_colored_mesh:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            print(
+                "[Info] Headless build: colored mesh saved to "
+                f"{data_io.path_config.reconstruction.get_colored_mesh_path()}"
+            )
+            _emit_view_seconds("COLORED", _time.perf_counter() - _t0)
         for side, ds in optimized_color_dataset_map.items():
             data_io.color.save_optimized_color_dataset(dataset=ds, side=side)
 

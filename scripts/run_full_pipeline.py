@@ -105,15 +105,22 @@ def main(argv=None):
         print(f"[Info] Profiler trace written to {args.profile}")
 
     elapsed = time.time() - t0
+    # Subtract viewer time like the reference's "[VIS] *_VIEW_SECONDS:"
+    # stdout parsing (reference run_full_pipeline.py:96,278,314); our step 3
+    # runs in-process, so the emitted total is read back directly.
+    from mq3d_tpu.recon import reconstruct as _recon_mod
+
+    view_seconds = float(getattr(_recon_mod, "LAST_VIEW_SECONDS", 0.0))
+    adjusted = max(0.0, elapsed - view_seconds)
     frame_counts = [
         len(processor.data_io.color.get_rgb_timestamps(side)) for side in Side
     ]
     captures = max(max(frame_counts), 1)
     summary = (
         f"total_runtime_seconds: {elapsed:.1f}\n"
-        f"adjusted_runtime_seconds: {elapsed:.1f}\n"  # headless: no viewer time
+        f"adjusted_runtime_seconds: {adjusted:.1f}\n"
         f"captures: {captures}\n"
-        f"seconds_per_capture: {elapsed / captures:.3f}\n"
+        f"seconds_per_capture: {adjusted / captures:.3f}\n"
         "per_stage_seconds:\n"
         + "".join(f"  {name}: {dt:.1f}\n" for name, dt in timer.records)
     )

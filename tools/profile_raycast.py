@@ -71,8 +71,8 @@ def main():
     z8 = base()
 
     # --- march-only and refine-only at a given width -----------------------
-    for cap, iters, label in ((4800, 24, "s4-edge"), (19200, 24, "s2-edge"),
-                              (76800, 24, "s1-edge")):
+    for cap, iters, label in ((9600, 14, "s4-edge"), (38400, 14, "s2-edge"),
+                              (61440, 14, "s1-edge")):
         dirs = rc._ray_dirs(Kj, Rj, 1, H_C, W_C).reshape(-1, 3)[:cap]
         origins = jnp.broadcast_to(oj[:, None, :], (1, cap, 3)).reshape(-1, 3)
         t0 = jnp.full((cap,), t_min, rc._F32)
