@@ -401,3 +401,63 @@ def test_autosplit_grouped_loop_overflow():
     np.testing.assert_array_equal(
         np.asarray(small.state.tsdf[:n]), np.asarray(big.state.tsdf[:n])
     )
+
+
+def _checkerboard_volume(n_blocks: int) -> TSDFVolume:
+    """Pathological density: tsdf sign alternates voxel to voxel, so every
+    +x/+y/+z edge crosses zero (~3*R^3 crossings per block, far above the
+    8*R^2-per-block occupancy estimate the adaptive output buffers use)."""
+    import jax.numpy as jnp
+
+    from mq3d_tpu.ops.tsdf import TSDFState, create_state
+
+    R = 16
+    G = 16
+    cfg = TSDFConfig(
+        voxel_size=0.05, block_resolution=R, block_count=n_blocks, grid_dim=G
+    )
+    h = G // 2
+    idx = np.arange(n_blocks)
+    coords = np.stack(
+        [idx % G - h, (idx // G) % G - h, (idx // (G * G)) % G - h], -1
+    ).astype(np.int32)
+    flat = np.arange(R ** 3)
+    x = flat // (R * R)
+    y = (flat // R) % R
+    z = flat % R
+    sign = 1.0 - 2.0 * ((x + y + z) % 2)
+    tsdf = np.tile((0.5 * sign).astype(np.float32), (n_blocks, 1))
+    weight = np.full((n_blocks, R ** 3), 5.0, np.float32)
+
+    keys = ((coords[:, 0] + h) * G + coords[:, 1] + h) * G + coords[:, 2] + h
+    slot_table = np.full((G ** 3,), -1, np.int32)
+    slot_table[keys] = np.arange(n_blocks, dtype=np.int32)
+
+    base = create_state(cfg)
+    vol = TSDFVolume(cfg)
+    vol.state = TSDFState(
+        slot_table=jnp.asarray(slot_table),
+        block_coords=base.block_coords.at[:n_blocks].set(coords),
+        tsdf=base.tsdf.at[:n_blocks].set(tsdf),
+        weight=base.weight.at[:n_blocks].set(weight),
+        n_active=jnp.asarray(n_blocks, jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+        dropped_active=jnp.zeros((), jnp.int32),
+    )
+    return vol
+
+
+class TestAdaptiveExtractRetry:
+    """The occupancy-proportional output buffers must retry at the ceiling
+    (not truncate) when a dense scene overflows the conservative estimate."""
+
+    def test_point_retry_matches_host(self):
+        vol = _checkerboard_volume(2)
+        host = vol.extract_point_cloud(1.5, device=False)
+        dev = vol.extract_point_cloud(1.5)
+        # Every interior +axis edge crosses: way above 8*R^2*n_active.
+        assert len(host.points) > 8 * 256 * 2
+        assert len(dev.points) == len(host.points)
+        ph = np.sort(np.round(np.asarray(host.points) * 1e6).astype(np.int64), 0)
+        pd = np.sort(np.round(np.asarray(dev.points) * 1e6).astype(np.int64), 0)
+        np.testing.assert_array_equal(ph, pd)
