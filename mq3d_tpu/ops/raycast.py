@@ -218,7 +218,7 @@ def _secant(ta, va, tb, vb):
 
 
 def _march(cfg, slot_dist, ext, n_bucket, origins, dirs, t_init, t_min,
-           t_max, max_iter):
+           t_max, max_iter, iter_stats=False):
     """Unified sphere march.  Returns (found, ta, tb, va, vb): a bracketing
     pair of consecutive nearest-voxel samples around the first + -> -
     crossing.  2 gathers per iteration."""
@@ -266,8 +266,18 @@ def _march(cfg, slot_dist, ext, n_bucket, origins, dirs, t_init, t_min,
     init = (
         t0, z, z, z, z, t0, z,
         jnp.zeros((n,), bool), jnp.zeros((n,), bool),
-        jnp.ones((n,), bool), jnp.asarray(0, jnp.int32),
+        t0 <= t_max, jnp.asarray(0, jnp.int32),
     )
+    if iter_stats:
+        # Instrumentation: fixed-trip scan recording live-lane counts per
+        # iteration (tools/march_stats.py); the production path keeps the
+        # early-exiting while_loop.
+        def step(c, _):
+            c = body(c)
+            return c, jnp.sum(c[-2])
+
+        out, live = jax.lax.scan(step, init, None, length=max_iter)
+        return out[8], out[1], out[2], out[3], out[4], live
     out = jax.lax.while_loop(cond, body, init)
     t, ta, tb, va, vb = out[:5]
     found = out[8]
@@ -373,7 +383,7 @@ def _ray_dirs(K, Rcw, s, h_l, w_l):
     static_argnames=(
         "cfg", "n_bucket", "width", "height", "edge_cap", "fine_march_iters",
         "edge_frac_full", "edge_frac_mid", "refine_samples_fine",
-        "refine_iters_fine", "base_march_iters",
+        "refine_iters_fine", "base_march_iters", "level_stats",
     ),
 )
 def _render_frames(
@@ -392,16 +402,18 @@ def _render_frames(
     edge_cap: int,
     edge_eps,
     fine_march_iters: int = 14,
-    edge_frac_full: int = 20,
+    edge_frac_full: int = 64,
     edge_frac_mid: int = 32,
     refine_samples_fine: int = 3,
     refine_iters_fine: int = 1,
     base_march_iters: int = 64,
+    level_stats: bool = False,
 ):
     """Full coherent pyramid for a batch of frames in ONE launch.
 
-    Returns ((F, height, width) z-depth with inf misses, edge overflow count).
-    """
+    Returns ((F, height, width) z-depth with inf misses, edge overflow count)
+    plus, when level_stats=True, a (n_fine_levels, 3) int32 array of
+    (n_edge, cap, n_found) per fine level."""
     F = K.shape[0]
     vs = cfg.voxel_size
     pad = 3.0 * vs
@@ -474,16 +486,26 @@ def _render_frames(
 
     # ---- fine levels: dense 1/z upsampling + compacted edge re-march ----------
     overflow = jnp.asarray(0, jnp.int32)
+    stats = []
     for s in fine_scales:
         h_l, w_l = level_shape(s)
         h_p, w_p = z.shape[1], z.shape[2]
-        # Intermediate levels tolerate tighter caps: pixels that overflow
-        # keep interpolated depth and any resulting 1/z anomaly re-flags
-        # them at the next level, so only the full-res cap is quality-
-        # critical.
-        # Full res skips the band dilation (above), so 1/24 of the pixels
-        # bounds its edge set where 1/16 was needed for the dilated band.
-        frac = edge_frac_full if s == 1 else edge_frac_mid
+        # Cap structure (measured on the analytic room, tools/march_stats.py
+        # + level_stats): the march/refine cost is the STATIC cap width —
+        # dead lanes still gather every iteration — so caps should hug the
+        # real edge counts.  Undersized MID caps are the expensive failure:
+        # unprocessed overflow keeps interpolated depth, re-flags ~2x wider
+        # at the next level, and cascades into a full-res edge set ~10x the
+        # geometric one.  So the first fine level (cheapest pixels) gets the
+        # loosest fraction, and full res — where real edge density is ~0.5%
+        # of pixels (no band dilation) — the tightest.  Overflowed full-res
+        # pixels degrade gracefully to dense-upsampled depth.
+        if s == 1:
+            frac = edge_frac_full
+        elif s == fine_scales[0]:
+            frac = max(edge_frac_mid // 4, 2)
+        else:
+            frac = max(edge_frac_mid // 2, 2)
         cap_l = min(max(F * h_l * w_l // frac, 4096), edge_cap)
 
         # Planarity/validity on the parent: a pixel is an "edge" if any 3x3
@@ -492,13 +514,28 @@ def _render_frames(
         # exact for planar surfaces, so everything else upsamples densely.
         invz = jnp.where(jnp.isfinite(z), 1.0 / z, 0.0)
         finite = jnp.isfinite(z)
+
+        def shift(x, d, axis):
+            # Edge-replicated shift: jnp.roll wraps, which made the border
+            # rows/columns of every level fire the planarity test against
+            # the opposite side of the frame (~20% of all flagged edges on
+            # the analytic room).
+            n_ax = x.shape[axis]
+            if d > 0:
+                body = jax.lax.slice_in_dim(x, 0, n_ax - d, axis=axis)
+                pad = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+                parts = [pad] * d + [body]
+            else:
+                body = jax.lax.slice_in_dim(x, -d, n_ax, axis=axis)
+                pad = jax.lax.slice_in_dim(x, n_ax - 1, n_ax, axis=axis)
+                parts = [body] + [pad] * (-d)
+            return jnp.concatenate(parts, axis=axis)
+
         d2u = jnp.abs(
-            invz
-            - 0.5 * (jnp.roll(invz, 1, axis=2) + jnp.roll(invz, -1, axis=2))
+            invz - 0.5 * (shift(invz, 1, 2) + shift(invz, -1, 2))
         )
         d2v = jnp.abs(
-            invz
-            - 0.5 * (jnp.roll(invz, 1, axis=1) + jnp.roll(invz, -1, axis=1))
+            invz - 0.5 * (shift(invz, 1, 1) + shift(invz, -1, 1))
         )
         edge_p = (
             (~finite)
@@ -606,7 +643,13 @@ def _render_frames(
             .set(jnp.where(live, t_hit_e, 0.0), mode="drop")
             .reshape(F, h_l, w_l)
         )
+        if level_stats:
+            stats.append(jnp.stack([
+                n_edge, jnp.asarray(cap_l, jnp.int32),
+                jnp.sum(found.astype(jnp.int32))]))
 
+    if level_stats:
+        return z, overflow, jnp.stack(stats)
     return z, overflow
 
 

@@ -29,7 +29,23 @@ def main():
     print("[worker] connecting to device ...", flush=True)
     import jax
 
-    print(f"[worker] ready: {jax.devices()}", flush=True)
+    # The tunnel refuses fresh clients for up to ~15 min after an unclean
+    # disconnect; keep retrying rather than dying (each attempt itself
+    # blocks for minutes).
+    while True:
+        try:
+            print(f"[worker] ready: {jax.devices()}", flush=True)
+            break
+        except RuntimeError as e:
+            print(f"[worker] device unavailable ({e}); retrying in 60 s",
+                  flush=True)
+            time.sleep(60)
+            try:  # drop the cached failed backend so the retry is real
+                from jax._src import xla_bridge as _xb
+
+                _xb._clear_backends()
+            except Exception:
+                pass
     while True:
         for f in sorted(JOBS.glob("*.py")):
             out = f.with_suffix(".out")
