@@ -384,6 +384,7 @@ def _ray_dirs(K, Rcw, s, h_l, w_l):
         "cfg", "n_bucket", "width", "height", "edge_cap", "fine_march_iters",
         "edge_frac_full", "edge_frac_mid", "refine_samples_fine",
         "refine_iters_fine", "base_march_iters", "level_stats",
+        "pyramid_scales",
     ),
 )
 def _render_frames(
@@ -408,6 +409,7 @@ def _render_frames(
     refine_iters_fine: int = 1,
     base_march_iters: int = 64,
     level_stats: bool = False,
+    pyramid_scales: tuple | None = None,
 ):
     """Full coherent pyramid for a batch of frames in ONE launch.
 
@@ -433,13 +435,19 @@ def _render_frames(
         t_ex = jnp.min(jnp.maximum(t1, t2), axis=-1)
         return t_en, t_ex
 
-    scales = []
-    s = 8
-    while s > 1 and (width % s or height % s):
-        s //= 2
-    while s >= 1:
-        scales.append(s)
-        s //= 2
+    if pyramid_scales is not None:
+        scales = [s for s in pyramid_scales
+                  if width % s == 0 and height % s == 0]
+        if not scales or scales[-1] != 1:
+            scales = list(scales) + [1]
+    else:
+        scales = []
+        s = 8
+        while s > 1 and (width % s or height % s):
+            s //= 2
+        while s >= 1:
+            scales.append(s)
+            s //= 2
 
     def level_shape(s):
         return height // s, width // s
@@ -465,9 +473,11 @@ def _render_frames(
         )
         return t_hit.reshape(F, h_l, w_l)
 
-    def init_from(parent, h_l, w_l):
-        pm = _min_pool3(parent)
-        pm = jnp.repeat(jnp.repeat(pm, 2, axis=1), 2, axis=2)[:, :h_l, :w_l]
+    def up(x, f, h_l, w_l):
+        return jnp.repeat(jnp.repeat(x, f, axis=1), f, axis=2)[:, :h_l, :w_l]
+
+    def init_from(parent, f, h_l, w_l):
+        pm = up(_min_pool3(parent), f, h_l, w_l)
         return jnp.where(
             jnp.isfinite(pm), jnp.maximum(pm - pad, t_min), t_min
         ).reshape(-1)
@@ -487,9 +497,11 @@ def _render_frames(
     # ---- fine levels: dense 1/z upsampling + compacted edge re-march ----------
     overflow = jnp.asarray(0, jnp.int32)
     stats = []
+    s_prev = s0
     for s in fine_scales:
         h_l, w_l = level_shape(s)
-        h_p, w_p = z.shape[1], z.shape[2]
+        f = s_prev // s  # parent -> this level upsample factor
+        s_prev = s
         # Cap structure (measured on the analytic room, tools/march_stats.py
         # + level_stats): the march/refine cost is the STATIC cap width —
         # dead lanes still gather every iteration — so caps should hug the
@@ -554,9 +566,7 @@ def _render_frames(
         # Dense upsample of 1/z (half-pixel-center aligned 2x bilinear).
         invz_up = jax.image.resize(invz, (F, h_l, w_l), method="linear")
         z_up = jnp.where(invz_up > 1e-9, 1.0 / invz_up, jnp.inf)
-        edge = jnp.repeat(jnp.repeat(edge_p, 2, axis=1), 2, axis=2)[
-            :, :h_l, :w_l
-        ]
+        edge = up(edge_p, f, h_l, w_l)
 
         # Conservative per-pixel start depth from the parent, and a
         # per-pixel FAR bound from the parent 3x3 max where it is fully
@@ -566,12 +576,10 @@ def _render_frames(
         # walking every ray to the global t_max (the while_loop runs
         # until ALL lanes retire — the far bound is what cuts the
         # iteration count).
-        t0_full = init_from(z, h_l, w_l)
+        t0_full = init_from(z, f, h_l, w_l)
         zmax = _max_pool3(z)
         t_hi_p = jnp.where(jnp.isfinite(zmax), zmax + pad, t_max)
-        t_hi_full = jnp.repeat(jnp.repeat(t_hi_p, 2, axis=1), 2, axis=2)[
-            :, :h_l, :w_l
-        ].reshape(-1)
+        t_hi_full = up(t_hi_p, f, h_l, w_l).reshape(-1)
 
         # ---- compact edge pixel ids to a fixed-capacity buffer ---------------
         flat_edge = edge.reshape(-1)
