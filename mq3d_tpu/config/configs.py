@@ -173,6 +173,8 @@ class ColorAlignedDepthRenderingConfig:
     estimated_vertex_number: int = -1
     min_triangle_count: int = 2000
     only_use_optimized_dataset: bool = True
+    frames_per_batch: int = 16  # TPU: frames fused per render launch (the
+    #   march's serial gather rounds amortize across the frame batch)
 
 
 @dataclass

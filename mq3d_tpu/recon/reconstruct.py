@@ -193,7 +193,10 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
         log_step("Render color-aligned depth")
 
         def render(dataset: CameraDataset, side: Side, desc: str):
-            it = raycast_in_color_view(volume=vbg, dataset=dataset)
+            it = raycast_in_color_view(
+                volume=vbg, dataset=dataset,
+                frames_per_batch=config.color_aligned_depth_rendering
+                .frames_per_batch)
             for i in tqdm(range(len(dataset)), desc=desc):
                 depth_map = next(it)
                 data_io.rgbd.save_color_aligned_depth(
