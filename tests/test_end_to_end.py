@@ -211,3 +211,20 @@ class TestEndToEnd:
         # Raw YUV dir was deleted after clean conversion, so the second call
         # reports no YUV inputs; either message means "skipped".
         assert "Skipping" in out and "conversion" in out
+
+
+class TestVisMarkerProtocol:
+    """The reference's run_full_pipeline parses '[VIS] *_VIEW_SECONDS:'
+    stdout lines from reconstruct_scene (reference run_full_pipeline.py:
+    96,278) and subtracts the total from the adjusted runtime."""
+
+    def test_markers_emitted_and_accumulated(self, capsys):
+        from mq3d_tpu.recon import reconstruct as rmod
+
+        rmod.LAST_VIEW_SECONDS = 0.0
+        rmod._emit_view_seconds("COLORLESS", 0.25)
+        rmod._emit_view_seconds("COLORED", 0.5)
+        out = capsys.readouterr().out
+        assert "[VIS] COLORLESS_VIEW_SECONDS: 0.250" in out
+        assert "[VIS] COLORED_VIEW_SECONDS: 0.500" in out
+        assert abs(rmod.LAST_VIEW_SECONDS - 0.75) < 1e-9
