@@ -31,6 +31,14 @@ ONE jitted program and (b) budgets *gathers per output pixel*:
           planar surfaces) with march+refine only for *edge pixels* (depth
           discontinuities / curvature), compacted to per-level fixed-
           capacity buffers so the while_loop never runs at full width.
+          Cost model: dead lanes still gather every iteration, so each
+          level's cost is its STATIC cap width x the last-live-lane
+          iteration count.  Caps hug measured edge densities (loosest at
+          the first fine level, ~1/64 of pixels at full res); an
+          undersized MID cap is the expensive failure mode — unprocessed
+          overflow re-flags ~2x wider at the next level and cascades.
+          pyramid_scales trades static width against serial while_loop
+          depth ([8,4,2,1] default; [8,2,1]/[8,1] fewer-but-wider).
 
 Matches Open3D's t_hit convention: pinhole ray directions are the
 *unnormalized* K^-1 (u,v,1), so t_hit equals camera z-depth; misses are inf.
