@@ -188,8 +188,29 @@ def bench_e2e(tmp="/tmp/bench_e2e"):
     return time.perf_counter() - t0
 
 
+def _probe_device():
+    """The tunneled TPU backend can HANG init for ~25 min when the terminal
+    is wedged (observed 2026-08-17); probe it in a killable subprocess and
+    fall back to CPU so the bench always emits a valid JSON line."""
+    import subprocess
+
+    if os.environ.get("MQ3D_FORCE_CPU"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, check=True, capture_output=True,
+        )
+    except Exception as e:
+        print(f"[bench] TPU probe failed ({type(e).__name__}); "
+              "falling back to CPU", file=sys.stderr, flush=True)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["MQ3D_FORCE_CPU"] = "1"
+
+
 def main():
     sys.path.insert(0, ".")
+    _probe_device()
     import jax
 
     # Persistent compile cache is enabled by mq3d_tpu.__init__
