@@ -127,6 +127,20 @@ def _keys_to_coords(keys, G: int):
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _reset_state_jit(cfg: TSDFConfig, state: TSDFState) -> TSDFState:
+    """create_state semantics, but donating the old buffers in one launch."""
+    return TSDFState(
+        slot_table=jnp.full_like(state.slot_table, -1),
+        block_coords=jnp.zeros_like(state.block_coords),
+        tsdf=jnp.zeros_like(state.tsdf),
+        weight=jnp.zeros_like(state.weight),
+        n_active=jnp.zeros_like(state.n_active),
+        overflow=jnp.zeros_like(state.overflow),
+        dropped_active=jnp.zeros_like(state.dropped_active),
+    )
+
+
 @partial(jax.jit, static_argnames=("n_b",))
 def _slice_active_jit(state: "TSDFState", n_b: int):
     """Fused readback slice: coords/tsdf/weight of the first n_b slots in
@@ -775,6 +789,15 @@ class TSDFVolume:
         # Host mirror of state.dropped_active, maintained by integrate()'s
         # auto-split loop; None = unknown (externally assigned state).
         self._dropped_host = None
+
+    def reset(self) -> "TSDFVolume":
+        """Zero the volume IN PLACE (one donated launch): fragment loops
+        reuse a single state allocation instead of re-creating gigabytes
+        of buffers per fragment (each fresh allocation is several launches
+        plus HBM churn; under a tunneled runtime every launch of a
+        large-footprint program costs seconds)."""
+        self.state = _reset_state_jit(self.cfg, self.state)
+        return self
 
     # -- integration ------------------------------------------------------------
 

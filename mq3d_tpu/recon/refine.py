@@ -49,9 +49,11 @@ def integrate_fragment_point_cloud(
     frag_dataset: DepthDataset,
     side: Side,
     config: FragmentPoseRefinementConfig,
+    vol_opt: Optional[TSDFVolume] = None,
 ) -> Optional[PointCloud]:
     """One fragment -> TSDF -> surface point cloud
-    (reference refine_fragment_poses.py:14-58)."""
+    (reference refine_fragment_poses.py:14-58).  Pass a reusable volume via
+    vol_opt (reset in place) to avoid re-allocating gigabytes per fragment."""
     import os
     import time
 
@@ -63,7 +65,8 @@ def integrate_fragment_point_cloud(
             depth_data_io=depth_data_io,
             side=side,
             config=config,
-            vbg_opt=TSDFVolume(tsdf_config_from_integration(config)),
+            vbg_opt=(vol_opt.reset() if vol_opt is not None
+                     else TSDFVolume(tsdf_config_from_integration(config))),
         )
         t1 = time.perf_counter()
         pcd = vol.extract_point_cloud(weight_threshold=3.0)
@@ -90,10 +93,12 @@ def integrate_and_save_fragment_point_clouds(
     fragment integration; returns per-side fragment counts."""
     counts: Dict[Side, int] = {}
     total, failed = 0, 0
+    shared_vol = TSDFVolume(tsdf_config_from_integration(config))
     for side, frag_datasets in fragment_dataset_map.items():
         index = 0
         for frag in tqdm(frag_datasets, desc=f"[{side.name}] Integrating fragments"):
-            pcd = integrate_fragment_point_cloud(depth_data_io, frag, side, config)
+            pcd = integrate_fragment_point_cloud(
+                depth_data_io, frag, side, config, vol_opt=shared_vol)
             total += 1
             if pcd is None:
                 failed += 1
