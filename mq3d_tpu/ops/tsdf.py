@@ -1052,9 +1052,9 @@ class TSDFVolume:
     def _host_fields(self):
         n = self.n_active
         R = self.cfg.block_resolution
-        coords = np.asarray(self.state.block_coords[:n])
-        tsdf = np.asarray(self.state.tsdf[:n]).reshape(n, R, R, R)
-        weight = np.asarray(self.state.weight[:n]).reshape(n, R, R, R)
+        coords, tsdf, weight = self._fetch_active()  # one fused launch
+        tsdf = tsdf.reshape(n, R, R, R)
+        weight = weight.reshape(n, R, R, R)
         slot_table = np.asarray(self.state.slot_table)
         return coords, tsdf, weight, slot_table
 
