@@ -129,7 +129,7 @@ class FragmentPoseRefinementConfig:
     edge_prune_threshold: float = 0.25
     use_multi_threading: bool = False
     # TPU-only knobs:
-    frames_per_batch: int = 32
+    frames_per_batch: int = 64
     grid_dim: int = 160
     chunk_active_capacity: int = 12_288
     integrate_tile: int = 512
@@ -149,7 +149,7 @@ class IntegrationConfig:
     depth_max: float = 1.5
     trunc_voxel_multiplier: float = 8.0
     # TPU-only knobs (no reference counterpart):
-    frames_per_batch: int = 32  # frames fused per device launch
+    frames_per_batch: int = 64  # frames fused per device launch
     grid_dim: int = 160  # dense slot-table extent (blocks/axis)
     chunk_active_capacity: int = 12_288  # max blocks touched per chunk
     integrate_tile: int = 512  # blocks per integration tile
