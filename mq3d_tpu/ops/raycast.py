@@ -761,12 +761,13 @@ def raycast_depth_batch(
     t_min: float = 0.05,
     t_max: float | None = None,
     edge_eps: float = 1e-3,
+    **knobs,
 ) -> np.ndarray:
     """Render (F, H, W) z-depth maps from the TSDF volume in one launch.
-    inf = miss."""
+    inf = miss.  Static tuning knobs forward to _render_frames."""
     z, overflow = _render_frames_device(
         volume, intrinsics, extrinsics_wc, width, height,
-        t_min=t_min, t_max=t_max, edge_eps=edge_eps,
+        t_min=t_min, t_max=t_max, edge_eps=edge_eps, **knobs,
     )
     out = np.asarray(z)
     _warn_overflow(overflow)

@@ -179,3 +179,30 @@ class TestRaycast:
         err = np.abs(rendered[hit] - analytic[hit])
         assert np.median(err) < 0.04  # within one voxel
         assert np.quantile(err, 0.9) < 0.1
+
+
+class TestPyramidScales:
+    """pyramid_scales trades serial march depth against static width; every
+    scale set must hold the same accuracy (ops/raycast.py)."""
+
+    @pytest.mark.parametrize("scales", [(8, 2, 1), (8, 1)])
+    def test_scale_sets_match_default(self, loaded, scales):
+        from mq3d_tpu.ops.raycast import raycast_depth_batch
+
+        io, ds, depth, valid, K, T_cw, T_wc, cfg = loaded
+        vol = TSDFVolume(
+            TSDFConfig(
+                voxel_size=0.04, block_resolution=16, block_count=2048,
+                grid_dim=16, depth_max=4.0, trunc_voxel_multiplier=4.0,
+                chunk_active_capacity=2048, integrate_tile=256,
+            )
+        )
+        vol.integrate(depth, K, T_wc, valid)
+        w, h = int(ds.widths[0]), int(ds.heights[0])
+        base = raycast_depth_batch(vol, K[:1], T_wc[:1], w, h)
+        alt = raycast_depth_batch(
+            vol, K[:1], T_wc[:1], w, h, pyramid_scales=scales)
+        m = np.isfinite(base) & np.isfinite(alt)
+        assert m.mean() > 0.7
+        # Same surface at sub-voxel agreement between pyramid variants.
+        assert np.median(np.abs(base[m] - alt[m])) < 0.005
