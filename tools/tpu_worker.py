@@ -26,26 +26,30 @@ JOBS.mkdir(exist_ok=True)
 
 def main():
     ns: dict = {}
-    print("[worker] connecting to device ...", flush=True)
+    # The tunnel refuses fresh clients for up to ~15 min after an unclean
+    # disconnect, and backend init can HANG indefinitely while the terminal
+    # is wedged — probe in a killable subprocess and only init in-process
+    # once a probe succeeds.
+    import subprocess
+
+    print("[worker] probing device ...", flush=True)
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=600, check=True, capture_output=True,
+            )
+            break
+        except Exception as e:
+            print(f"[worker] probe {attempt} failed ({type(e).__name__}); "
+                  "retrying in 120 s", flush=True)
+            time.sleep(120)
+    print("[worker] probe ok; connecting ...", flush=True)
     import jax
 
-    # The tunnel refuses fresh clients for up to ~15 min after an unclean
-    # disconnect; keep retrying rather than dying (each attempt itself
-    # blocks for minutes).
-    while True:
-        try:
-            print(f"[worker] ready: {jax.devices()}", flush=True)
-            break
-        except RuntimeError as e:
-            print(f"[worker] device unavailable ({e}); retrying in 60 s",
-                  flush=True)
-            time.sleep(60)
-            try:  # drop the cached failed backend so the retry is real
-                from jax._src import xla_bridge as _xb
-
-                _xb._clear_backends()
-            except Exception:
-                pass
+    print(f"[worker] ready: {jax.devices()}", flush=True)
     while True:
         for f in sorted(JOBS.glob("*.py")):
             out = f.with_suffix(".out")
