@@ -366,6 +366,44 @@ def _max_pool3(x):
     return -_min_pool3(-x)
 
 
+def _shift_clamped(x, d, axis):
+    """Edge-replicated shift by d (+1 = toward higher indices)."""
+    n_ax = x.shape[axis]
+    if d > 0:
+        body = jax.lax.slice_in_dim(x, 0, n_ax - d, axis=axis)
+        pad = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        parts = [pad] * d + [body]
+    else:
+        body = jax.lax.slice_in_dim(x, -d, n_ax, axis=axis)
+        pad = jax.lax.slice_in_dim(x, n_ax - 1, n_ax, axis=axis)
+        parts = [body] + [pad] * (-d)
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _upsample_bilinear(x, f, axis):
+    """Half-pixel-center bilinear upsample by integer factor f along axis,
+    matching jax.image.resize(method='linear') for integer factors with
+    edge clamping — built from shifts + phase interleave instead of
+    resize's gather formulation, whose s32[..., 2] index tensors pad their
+    trailing size-2 dim 64x under TPU (8,128) tiling (20 GB at F=64,
+    1280x960) and cost real HBM traffic at any batch size."""
+    if f == 1:
+        return x
+    left = _shift_clamped(x, 1, axis)
+    right = _shift_clamped(x, -1, axis)
+    phases = []
+    for p in range(f):
+        c = (p + 0.5) / f - 0.5  # offset of output phase p from input i
+        if c < 0:
+            phases.append((1.0 + c) * x + (-c) * left)
+        else:
+            phases.append((1.0 - c) * x + c * right)
+    y = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = shape[axis] * f
+    return y.reshape(shape)
+
+
 def _ray_dirs(K, Rcw, s, h_l, w_l):
     """(F, h_l, w_l, 3) world ray directions for pyramid scale s (z-depth
     parameterization: camera-frame z component is 1)."""
@@ -481,15 +519,6 @@ def _render_frames(
         )
         return t_hit.reshape(F, h_l, w_l)
 
-    def up(x, f, h_l, w_l):
-        return jnp.repeat(jnp.repeat(x, f, axis=1), f, axis=2)[:, :h_l, :w_l]
-
-    def init_from(parent, f, h_l, w_l):
-        pm = up(_min_pool3(parent), f, h_l, w_l)
-        return jnp.where(
-            jnp.isfinite(pm), jnp.maximum(pm - pad, t_min), t_min
-        ).reshape(-1)
-
     # ---- base level: full march + refine --------------------------------------
     # Only the 1/8 level marches in full; every finer level upsamples
     # densely and re-marches edges only.  At 1280x960 an 8-pixel feature at
@@ -572,51 +601,73 @@ def _render_frames(
             edge_p = _max_pool3(edge_p.astype(_F32)) > 0
 
         # Dense upsample of 1/z (half-pixel-center aligned 2x bilinear).
-        invz_up = jax.image.resize(invz, (F, h_l, w_l), method="linear")
+        invz_up = _upsample_bilinear(
+            _upsample_bilinear(invz, f, axis=1), f, axis=2)
         z_up = jnp.where(invz_up > 1e-9, 1.0 / invz_up, jnp.inf)
-        edge = up(edge_p, f, h_l, w_l)
 
-        # Conservative per-pixel start depth from the parent, and a
-        # per-pixel FAR bound from the parent 3x3 max where it is fully
-        # finite (inf propagates through the max-pool otherwise): the
-        # surface for an edge pixel lies inside its parent neighborhood's
-        # depth range +- pad, so the march retires lanes early instead of
-        # walking every ray to the global t_max (the while_loop runs
-        # until ALL lanes retire — the far bound is what cuts the
-        # iteration count).
-        t0_full = init_from(z, f, h_l, w_l)
-        zmax = _max_pool3(z)
-        t_hi_p = jnp.where(jnp.isfinite(zmax), zmax + pad, t_max)
-        t_hi_full = up(t_hi_p, f, h_l, w_l).reshape(-1)
-
-        # ---- compact edge pixel ids to a fixed-capacity buffer ---------------
-        flat_edge = edge.reshape(-1)
-        n_px = F * h_l * w_l
+        # ---- compact edge ids at PARENT resolution ----------------------------
+        # Edge pixels arrive in f x f blocks (the mask lives on the parent
+        # grid), so compact PARENT ids and expand each into its f^2 children
+        # arithmetically.  The full-res dense edge mask / start-depth /
+        # far-bound fields and the (F*h*w)-long compaction cumsum then never
+        # exist: besides the HBM traffic, their up()-broadcast intermediates
+        # carried a trailing dim of f whose (8,128) tiling padded 64x —
+        # 20 GB at F=64, 1280x960.  The re-marched pixel SET is identical
+        # (children are flagged iff their parent is).
+        h_p, w_p = z.shape[1], z.shape[2]
+        n_pp = F * h_p * w_p
+        ff = f * f
+        cap_p = max(cap_l // ff, 1)
+        flat_edge = edge_p.reshape(-1)
         rank = jnp.cumsum(flat_edge.astype(jnp.int32))
-        n_edge = rank[-1]
-        slot = jnp.where(flat_edge, rank - 1, cap_l)
-        slot = jnp.minimum(slot, cap_l)
-        ids = (
-            jnp.full((cap_l + 1,), n_px, jnp.int32)
+        n_edge = rank[-1] * ff  # in this level's pixels
+        slot = jnp.where(flat_edge, rank - 1, cap_p)
+        slot = jnp.minimum(slot, cap_p)
+        ids_p = (
+            jnp.full((cap_p + 1,), n_pp, jnp.int32)
             .at[slot]
-            .set(jnp.arange(n_px, dtype=jnp.int32), mode="drop")
-        )[:cap_l]
-        overflow = overflow + jnp.maximum(n_edge - cap_l, 0)
-        ids_safe = jnp.minimum(ids, n_px - 1)
-        live = ids < n_px
+            .set(jnp.arange(n_pp, dtype=jnp.int32), mode="drop")
+        )[:cap_p]
+        overflow = overflow + jnp.maximum(n_edge - cap_p * ff, 0)
+        ids_safe_p = jnp.minimum(ids_p, n_pp - 1)
+        live_p = ids_p < n_pp
 
-        # Rays for the compacted ids, rebuilt arithmetically (no gathers
-        # except t_init and the frame index lookups).
-        fidx = ids_safe // (h_l * w_l)
-        pix = ids_safe % (h_l * w_l)
-        py = (pix // w_l).astype(_F32) * s + (0.5 * s - 0.5)
-        px = (pix % w_l).astype(_F32) * s + (0.5 * s - 0.5)
+        # Conservative per-parent start depth, and a FAR bound from the
+        # parent 3x3 max where it is fully finite (inf propagates through
+        # the max-pool otherwise): the surface for an edge pixel lies
+        # inside its parent neighborhood's depth range +- pad, so the march
+        # retires lanes early instead of walking every ray to the global
+        # t_max (the while_loop runs until ALL lanes retire — the far
+        # bound is what cuts the iteration count).  Gathered per compacted
+        # parent id; constant across the f x f children.
+        zmin_p = _min_pool3(z).reshape(-1)[ids_safe_p]
+        t0_p = jnp.where(
+            jnp.isfinite(zmin_p), jnp.maximum(zmin_p - pad, t_min), t_min)
+        zmax_p = _max_pool3(z).reshape(-1)[ids_safe_p]
+        t_hi_p = jnp.where(jnp.isfinite(zmax_p), zmax_p + pad, t_max)
+
+        # Expand to f^2 child lanes, phase-major so the wide axis stays
+        # minormost: lane l = phase * cap_p + j.  Rays are rebuilt
+        # arithmetically (no gathers except the per-parent bounds and the
+        # frame index lookups).
+        n_lanes = cap_p * ff
+        lane = jnp.arange(n_lanes, dtype=jnp.int32)
+        phase = lane // cap_p
+        j = lane % cap_p
+        idp = ids_safe_p[j]
+        live = live_p[j]
+        fidx = idp // (h_p * w_p)
+        pp = idp % (h_p * w_p)
+        py = (pp // w_p) * f + phase // f  # this level's pixel row
+        px = (pp % w_p) * f + phase % f
+        pyf = py.astype(_F32) * s + (0.5 * s - 0.5)  # full-res coords
+        pxf = px.astype(_F32) * s + (0.5 * s - 0.5)
         fx = K[fidx, 0, 0]
         fy = K[fidx, 1, 1]
         cx = K[fidx, 0, 2]
         cy = K[fidx, 1, 2]
         d_cam = jnp.stack(
-            [(px - cx) / fx, (py - cy) / fy, jnp.ones((cap_l,), _F32)],
+            [(pxf - cx) / fx, (pyf - cy) / fy, jnp.ones((n_lanes,), _F32)],
             axis=-1,
         )
         dirs_e = jnp.einsum("nij,nj->ni", Rcw[fidx], d_cam)
@@ -629,11 +680,11 @@ def _render_frames(
         t_en_e, t_ex_e = ray_aabb_span(origins_e, dirs_e)
         t0_e = jnp.where(
             live,
-            jnp.maximum(t0_full[ids_safe], jnp.maximum(t_en_e - vs, t_min)),
+            jnp.maximum(t0_p[j], jnp.maximum(t_en_e - vs, t_min)),
             t_min)
         t_hi_e = jnp.where(
             live,
-            jnp.minimum(t_hi_full[ids_safe], t_ex_e + vs),
+            jnp.minimum(t_hi_p[j], t_ex_e + vs),
             t_min - 1.0)
 
         # With per-ray [t0, t_hi] windows most lanes retire in a few
@@ -653,9 +704,11 @@ def _render_frames(
             cfg, slot_dist, ext, n_bucket, origins_e, dirs_e, found, ta, tb,
             va, vb, n_samples=refine_samples_fine, n_iters=refine_iters_fine,
         )
+        n_px = F * h_l * w_l
+        ids_full = (fidx * h_l + py) * w_l + px
         z = (
             z_up.reshape(-1)
-            .at[jnp.where(live, ids_safe, n_px)]
+            .at[jnp.where(live, ids_full, n_px)]
             .set(jnp.where(live, t_hit_e, 0.0), mode="drop")
             .reshape(F, h_l, w_l)
         )
