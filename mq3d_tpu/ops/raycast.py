@@ -391,17 +391,23 @@ def _upsample_bilinear(x, f, axis):
         return x
     left = _shift_clamped(x, 1, axis)
     right = _shift_clamped(x, -1, axis)
-    phases = []
+    # Interleave the f phase images via interior padding + add (a
+    # stack(axis+1)+reshape materializes an (..., f)-minor copy that the
+    # same tiling pads 64x when `axis` is the minormost dim).
+    zero = jnp.zeros((), x.dtype)
+    cfg0 = [(0, 0, 0)] * x.ndim
+    y = None
     for p in range(f):
         c = (p + 0.5) / f - 0.5  # offset of output phase p from input i
         if c < 0:
-            phases.append((1.0 + c) * x + (-c) * left)
+            ph = (1.0 + c) * x + (-c) * left
         else:
-            phases.append((1.0 - c) * x + c * right)
-    y = jnp.stack(phases, axis=axis + 1)
-    shape = list(x.shape)
-    shape[axis] = shape[axis] * f
-    return y.reshape(shape)
+            ph = (1.0 - c) * x + c * right
+        cfg = list(cfg0)
+        cfg[axis] = (p, f - 1 - p, f - 1)
+        spread = jax.lax.pad(ph, zero, cfg)
+        y = spread if y is None else y + spread
+    return y
 
 
 def _ray_dirs(K, Rcw, s, h_l, w_l):
@@ -878,24 +884,31 @@ def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8
             i = j
 
     def dispatch(i, j):
-        return _render_frames_device(
+        z, overflow = _render_frames_device(
             volume,
             np.asarray(K[i:j], np.float32),
             np.asarray(T_wc[i:j], np.float64),
             int(widths[i]),
             int(heights[i]),
         )
+        # One whole-batch copy: measured against per-frame slice drains and
+        # per-frame split program outputs on the tunneled transport, the
+        # single copy is as fast or faster once the per-program-switch
+        # launch penalties are counted (frame slices interleave 16 extra
+        # programs between renders; split outputs are ~8x worse).
+        z.copy_to_host_async()
+        return z, overflow
+
+    def drain(batch_z, overflow):
+        _warn_overflow(overflow)
+        batch = np.asarray(batch_z)
+        for k in range(batch.shape[0]):
+            yield batch[k]
 
     pending = None  # (z device array, overflow device array)
     for span in spans():
         prev, pending = pending, dispatch(*span)
         if prev is not None:
-            batch = np.asarray(prev[0])
-            _warn_overflow(prev[1])
-            for k in range(batch.shape[0]):
-                yield batch[k]
+            yield from drain(*prev)
     if pending is not None:
-        batch = np.asarray(pending[0])
-        _warn_overflow(pending[1])
-        for k in range(batch.shape[0]):
-            yield batch[k]
+        yield from drain(*pending)

@@ -111,10 +111,10 @@ def main():
                       | (rc._max_pool3((~finite).astype(rc._F32)) > 0)
                       | (jnp.maximum(d2u, d2v) > 1e-3))
             edge_p = rc._max_pool3(edge_p.astype(rc._F32)) > 0
-            invz_up = jax.image.resize(invz, (1, h_l, w_l), method="linear")
+            invz_up = rc._upsample_bilinear(
+                rc._upsample_bilinear(invz, 2, axis=1), 2, axis=2)
             z_up = jnp.where(invz_up > 1e-9, 1.0 / invz_up, jnp.inf)
-            edge = jnp.repeat(jnp.repeat(edge_p, 2, 1), 2, 2)[:, :h_l, :w_l]
-            flat_edge = edge.reshape(-1)
+            flat_edge = edge_p.reshape(-1)
             rank = jnp.cumsum(flat_edge.astype(jnp.int32))
             overflow = overflow + rank[-1]
             z = z_up
