@@ -213,6 +213,10 @@ def bench_e2e(tmp="/tmp/bench_e2e"):
 
     import scripts.run_full_pipeline as rfp
 
+    # Sub-stage timing in the bench log: the 16-frame wall-clock is launch/
+    # cache-load bound in this environment, and the [Substep] lines record
+    # where (see TODO.md "Known environment issue").
+    os.environ.setdefault("MQ3D_SUBSTEP_TIMING", "1")
     t0 = time.perf_counter()
     rfp.main(["--session_dir", str(proj), "--config", str(cfg_path)])
     return time.perf_counter() - t0

@@ -206,3 +206,23 @@ class TestPyramidScales:
         assert m.mean() > 0.7
         # Same surface at sub-voxel agreement between pyramid variants.
         assert np.median(np.abs(base[m] - alt[m])) < 0.005
+
+
+class TestUpsampleBilinear:
+    """_upsample_bilinear must match jax.image.resize(method='linear') for
+    integer factors: the renderer replaced resize because its gather
+    formulation materializes an s32[..., 2] index tensor whose trailing
+    dim pads 64x under TPU (8,128) tiling (ops/raycast.py)."""
+
+    @pytest.mark.parametrize("f", [2, 4, 8])
+    def test_matches_jax_image_resize(self, f):
+        import jax
+
+        from mq3d_tpu.ops.raycast import _upsample_bilinear
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((3, 24, 16)), jnp.float32)
+        got = _upsample_bilinear(_upsample_bilinear(x, f, axis=1), f, axis=2)
+        want = jax.image.resize(x, (3, 24 * f, 16 * f), method="linear")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6)
