@@ -56,16 +56,32 @@ def main():
             code = f.read_text()
             f.unlink()
             print(f"[worker] running {f.name}", flush=True)
-            buf = io.StringIO()
+
+            class _Tee(io.TextIOBase):
+                """Buffer + live-stream to NN.live so long jobs are
+                observable while they run."""
+
+                def __init__(self, live_path):
+                    self.buf = io.StringIO()
+                    self.live = open(live_path, "w")
+
+                def write(self, s):
+                    self.buf.write(s)
+                    self.live.write(s)
+                    self.live.flush()
+                    return len(s)
+
+            tee = _Tee(f.with_suffix(".live"))
             t0 = time.perf_counter()
-            with contextlib.redirect_stdout(buf), \
-                    contextlib.redirect_stderr(buf):
+            with contextlib.redirect_stdout(tee), \
+                    contextlib.redirect_stderr(tee):
                 try:
                     exec(compile(code, f.name, "exec"), ns)
                 except BaseException:
                     traceback.print_exc()
+            tee.live.close()
             out.write_text(
-                buf.getvalue()
+                tee.buf.getvalue()
                 + f"\n[job done in {time.perf_counter() - t0:.1f}s]\n"
             )
             print(f"[worker] {f.name} done", flush=True)
