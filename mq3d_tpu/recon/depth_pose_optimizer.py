@@ -14,7 +14,7 @@ from mq3d_tpu.models.side import Side
 from mq3d_tpu.models.transforms import CoordinateSystem
 from mq3d_tpu.recon.fragments import make_fragment_datasets
 from mq3d_tpu.recon.refine import refine_fragment_poses
-from mq3d_tpu.utils.log import log_step
+from mq3d_tpu.utils.log import log_step, substep
 
 
 def merge_fragment_datasets(
@@ -83,8 +83,10 @@ class DepthPoseOptimizer:
             config=self.config.fragment_pose_refinement,
         )
 
-        optimized = merge_fragment_datasets(frag_map)
-        for side, ds in optimized.items():
-            self.depth_data_io.save_optimized_depth_dataset(side=side, dataset=ds)
+        with substep("save_optimized_depth_datasets"):
+            optimized = merge_fragment_datasets(frag_map)
+            for side, ds in optimized.items():
+                self.depth_data_io.save_optimized_depth_dataset(
+                    side=side, dataset=ds)
         print("[Info] Optimized depth datasets saved.")
         return optimized

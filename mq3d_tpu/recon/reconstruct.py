@@ -67,9 +67,10 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
     # Step 1: depth confidence estimation
     if config.estimate_depth_confidences:
         log_step("Estimate depth confidences")
-        estimate_depth_confidences(
-            depth_data_io=data_io.depth, config=config.confidence_estimation
-        )
+        with substep("estimate_depth_confidences"):
+            estimate_depth_confidences(
+                depth_data_io=data_io.depth, config=config.confidence_estimation
+            )
 
     # Step 2: depth pose optimization
     if config.optimize_depth_pose:
@@ -78,7 +79,8 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
             recon_data_io=data_io.reconstruction,
             config=config,
         )
-        depth_dataset_map = optimizer()
+        with substep("depth_pose_optimizer"):
+            depth_dataset_map = optimizer()
     else:
         depth_dataset_map: Dict[Side, DepthDataset] = {}
         for side in Side:

@@ -40,6 +40,7 @@ from mq3d_tpu.ops.posegraph import (
     global_optimization,
 )
 from mq3d_tpu.recon.graph_utils import convert_pose_graph_to_transforms
+from mq3d_tpu.utils.log import substep
 from mq3d_tpu.recon.integrate import integrate, tsdf_config_from_integration
 from mq3d_tpu.ops.tsdf import TSDFVolume
 
@@ -319,6 +320,8 @@ def compute_pcd_pair_edges_batched(
 
         # Group by target so ONE grid serves all its sources (a stacked
         # per-pair grid table OOMs HBM at production fragment sizes).
+        _pf = substep("pair_icp_prefilter")
+        _pf.__enter__()
         by_target: dict = {}
         for pq in uncertain:
             by_target.setdefault(pq[1], []).append(pq)
@@ -336,6 +339,7 @@ def compute_pcd_pair_edges_batched(
                         <= config.pre_filter_inlier_rmse_threshold):
                     kept.append(pq)
         kept.sort(key=lambda pq: uncertain.index(pq))
+        _pf.__exit__(None, None, None)
         print(f"[Info] Pre-filter kept {len(kept)} / {len(uncertain)} "
               "uncertain pairs")
         survivors = certain + kept
@@ -354,6 +358,8 @@ def compute_pcd_pair_edges_batched(
         max_corr = config.max_corr_dists[level]
         print(f"[Info] Pair ICP level {level + 1}/{n_levels}: "
               f"{len(survivors)} pairs in {len(groups)} target groups")
+        _lvl = substep(f"pair_icp_level_{level + 1}")
+        _lvl.__enter__()
         for t_n, idxs in groups.items():
             res = registration_icp_batch_shared(
                 [cache.get_pyramid(
@@ -367,6 +373,7 @@ def compute_pcd_pair_edges_batched(
             for i, r in zip(idxs, res):
                 T[i] = r.transformation
                 last[i] = r
+        _lvl.__exit__(None, None, None)
 
     # ---- convergence gate + information matrices ------------------------
     # Info matrices batch per shared-target group like the ICP levels
@@ -388,6 +395,8 @@ def compute_pcd_pair_edges_batched(
     by_target: dict = {}
     for i in kept:
         by_target.setdefault(survivors[i][1], []).append(i)
+    _inf = substep("pose_graph_information_matrices")
+    _inf.__enter__()
     for t_n, idxs in by_target.items():
         t_key = node_side_index_list[t_n]
         infos = get_information_matrix_batch(
@@ -399,6 +408,7 @@ def compute_pcd_pair_edges_batched(
         )
         for i, info in zip(idxs, infos):
             info_by_pair[i] = info
+    _inf.__exit__(None, None, None)
 
     edges: List[PoseGraphEdge] = []
     for i in kept:
@@ -462,18 +472,21 @@ def refine_fragment_poses(
     config: FragmentPoseRefinementConfig,
 ):
     """(reference refine_fragment_poses.py:274-321)."""
-    fragment_counts = integrate_and_save_fragment_point_clouds(
-        depth_data_io, recon_data_io, fragment_dataset_map, config
-    )
-    pose_graph, node_side_index_list = build_pose_graph_for_scene(
-        recon_data_io, fragment_counts, config
-    )
+    with substep("integrate_fragment_point_clouds"):
+        fragment_counts = integrate_and_save_fragment_point_clouds(
+            depth_data_io, recon_data_io, fragment_dataset_map, config
+        )
+    with substep("build_scene_pose_graph"):
+        pose_graph, node_side_index_list = build_pose_graph_for_scene(
+            recon_data_io, fragment_counts, config
+        )
     option = GlobalOptimizationOption(
         max_correspondence_distance=config.dist_threshold,
         edge_prune_threshold=config.edge_prune_threshold,
         reference_node=0,
     )
-    global_optimization(pose_graph, option)
+    with substep("scene_global_optimization"):
+        global_optimization(pose_graph, option)
 
     fragment_transforms = convert_pose_graph_to_transforms(pose_graph)
     for node_index, (side, side_index) in enumerate(node_side_index_list):
