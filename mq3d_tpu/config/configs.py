@@ -135,6 +135,10 @@ class FragmentPoseRefinementConfig:
     integrate_tile: int = 512
     alloc_pixel_stride: int = 2
     batch_pair_icp: bool = True  # wide/multi-chip pair-ICP launches
+    # Exact CSR NN for the scene pose-graph information matrices instead
+    # of the discrete-Voronoi field (same stats to <1%, ~30x slower at
+    # production fragment sizes — ops/icp.py get_information_matrix_batch).
+    exact_information_matrices: bool = False
 
 
 @dataclass
