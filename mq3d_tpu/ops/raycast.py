@@ -33,10 +33,14 @@ ONE jitted program and (b) budgets *gathers per output pixel*:
           capacity buffers so the while_loop never runs at full width.
           Cost model: dead lanes still gather every iteration, so each
           level's cost is its STATIC cap width x the last-live-lane
-          iteration count.  Caps hug measured edge densities (loosest at
-          the first fine level, ~1/64 of pixels at full res); an
-          undersized MID cap is the expensive failure mode — unprocessed
-          overflow re-flags ~2x wider at the next level and cascades.
+          iteration count.  Caps hug measured edge densities: edges are
+          curves, so each level's cap is a per-frame multiple of
+          sqrt(h*w) (loosest at the first fine level, tightest at full
+          res), not an area fraction — area fractions starve small
+          frames, where the constant-width edge band is a large share of
+          the pixels.  An undersized MID cap is the expensive failure
+          mode — unprocessed overflow re-flags ~2x wider at the next
+          level and cascades.
           pyramid_scales trades static width against serial while_loop
           depth ([8,4,2,1] default; [8,2,1]/[8,1] fewer-but-wider).
 
@@ -47,6 +51,8 @@ Matches Open3D's t_hit convention: pinhole ray directions are the
 from __future__ import annotations
 
 from functools import partial
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -434,7 +440,7 @@ def _ray_dirs(K, Rcw, s, h_l, w_l):
     jax.jit,
     static_argnames=(
         "cfg", "n_bucket", "width", "height", "edge_cap", "fine_march_iters",
-        "edge_frac_full", "edge_frac_mid", "refine_samples_fine",
+        "edge_mult_full", "edge_mult_mid", "refine_samples_fine",
         "refine_iters_fine", "base_march_iters", "level_stats",
         "pyramid_scales",
     ),
@@ -455,8 +461,8 @@ def _render_frames(
     edge_cap: int,
     edge_eps,
     fine_march_iters: int = 14,
-    edge_frac_full: int = 64,
-    edge_frac_mid: int = 32,
+    edge_mult_full: int = 10,
+    edge_mult_mid: int = 34,
     refine_samples_fine: int = 3,
     refine_iters_fine: int = 1,
     base_march_iters: int = 64,
@@ -471,6 +477,15 @@ def _render_frames(
     F = K.shape[0]
     vs = cfg.voxel_size
     pad = 3.0 * vs
+
+    # edge_eps thresholds |second difference of 1/z|, which scales with the
+    # SQUARE of the angular pixel pitch: the same surface curvature responds
+    # 4x stronger at half the resolution.  The default (1e-3) is calibrated
+    # at a 1280-wide render; normalize so edge densities — and therefore the
+    # perimeter-multiple cap model below — are resolution-invariant
+    # (unnormalized, a 640x480 render flags ~2x the per-perimeter edges of a
+    # 1280x960 one and overflows caps that are clean at full res).
+    edge_eps = edge_eps * jnp.float32((1280.0 / width) ** 2)
 
     def ray_aabb_span(origins, dirs):
         """Slab test against the active-block AABB in t units (dirs are
@@ -551,17 +566,28 @@ def _render_frames(
         # real edge counts.  Undersized MID caps are the expensive failure:
         # unprocessed overflow keeps interpolated depth, re-flags ~2x wider
         # at the next level, and cascades into a full-res edge set ~10x the
-        # geometric one.  So the first fine level (cheapest pixels) gets the
-        # loosest fraction, and full res — where real edge density is ~0.5%
-        # of pixels (no band dilation) — the tightest.  Overflowed full-res
-        # pixels degrade gracefully to dense-upsampled depth.
+        # geometric one.  Overflowed full-res pixels degrade gracefully to
+        # dense-upsampled depth.
+        #
+        # Edges are CURVES (silhouettes, creases): their pixel count scales
+        # with curve length x a constant band width (3x3 dilation), i.e.
+        # ~ sqrt(h*w) per frame — NOT with the pixel area.  Area-fraction
+        # caps therefore starve small frames (at 640x480 the first fine
+        # level's real edge set is ~20% of its 160x120 pixels; at 1280x960
+        # the same scene needs ~2% of 320x240) and over-provision large
+        # ones.  Caps are per-frame perimeter multiples, measured on the
+        # analytic room at both resolutions (tools/march_stats.py):
+        # first fine level loosest (its pixels are the cheapest and an
+        # overflow cascades through every later level), full res tightest
+        # (real density ~0.5% of pixels at 1280x960, no band dilation).
+        per = int(math.isqrt(h_l * w_l))
         if s == 1:
-            frac = edge_frac_full
+            mult = edge_mult_full
         elif s == fine_scales[0]:
-            frac = max(edge_frac_mid // 4, 2)
+            mult = edge_mult_mid + edge_mult_mid // 4
         else:
-            frac = max(edge_frac_mid // 2, 2)
-        cap_l = min(max(F * h_l * w_l // frac, 4096), edge_cap)
+            mult = edge_mult_mid
+        cap_l = min(max(F * mult * per, 4096), F * h_l * w_l, edge_cap)
 
         # Planarity/validity on the parent: a pixel is an "edge" if any 3x3
         # neighbor is a miss or the inverse depth is locally non-planar
@@ -776,7 +802,7 @@ def _render_frames_device(
     ((F, H, W) z-depth, overflow scalar) without blocking.  Callers that
     stream many batches overlap the next launch with the previous batch's
     host readback (the tunneled readback is comparable to the compute).
-    Extra static tuning knobs (edge_frac_full, refine_samples_fine, ...)
+    Extra static tuning knobs (edge_mult_full, refine_samples_fine, ...)
     forward to _render_frames."""
     cfg = volume.cfg
     t_max = t_max if t_max is not None else cfg.depth_max * 1.5
