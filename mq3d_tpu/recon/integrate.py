@@ -128,6 +128,11 @@ def integrate(
 
         jax.block_until_ready(vol.state.tsdf)
 
+    _warn_volume_overflow(vol)
+    return vol
+
+
+def _warn_volume_overflow(vol: TSDFVolume) -> None:
     overflow = fetch_int(vol.state.overflow)
     if overflow > 0:
         print(
@@ -142,4 +147,108 @@ def integrate(
             f"{vol.cfg.chunk_active_capacity}; raise it or reduce the chunk "
             f"size — depth observations were dropped)"
         )
+
+
+def integrate_multi(
+    dataset_map,
+    depth_data_io: DepthDataIO,
+    config: IntegrationConfig,
+    vbg_opt: Optional[TSDFVolume] = None,
+    show_progress: bool = False,
+    desc: Optional[str] = None,
+) -> TSDFVolume:
+    """Integrate every frame of every side's dataset into ONE volume, with
+    chunks that span side boundaries.
+
+    Accumulation-identical to sequential per-side `integrate()` calls in
+    `dataset_map` iteration order (the chunk-fused kernel is bit-exact vs
+    per-frame integration regardless of chunk boundaries); the difference
+    is launch count: frames chunk across the LEFT/RIGHT boundary, so a
+    16-frame capture integrates in ONE device launch instead of two.  The
+    tunneled TPU runtime charges ~1.3 s of launch overhead per
+    large-footprint program, which dominates small captures (reference
+    integrates sides sequentially into the shared VBG, o3d_utils.py:153-238
+    called once per side from reconstruct_scene.py).
+
+    Falls back to sequential per-side integration when the sides' depth
+    resolutions differ (stacks could not be fused into one array).
+    """
+    sides = [s for s, ds in dataset_map.items() if len(ds) > 0]
+    if not sides:
+        return vbg_opt if vbg_opt is not None else TSDFVolume(
+            tsdf_config_from_integration(config)
+        )
+    shapes = set()
+    for s in sides:
+        ds = dataset_map[s]
+        shapes.add((int(ds.heights[0]), int(ds.widths[0])))
+    if len(shapes) > 1:
+        vol = vbg_opt
+        for s in sides:
+            vol = integrate(
+                dataset=dataset_map[s], depth_data_io=depth_data_io,
+                side=s, config=config, vbg_opt=vol,
+                show_progress=show_progress, desc=desc,
+            )
+        return vol
+
+    vol = vbg_opt if vbg_opt is not None else TSDFVolume(
+        tsdf_config_from_integration(config)
+    )
+    Ks = {
+        s: dataset_map[s].get_render_intrinsic_matrices().astype(np.float32)
+        for s in sides
+    }
+    Ts = {
+        s: dataset_map[s].transforms.extrinsics_wc.astype(np.float32)
+        for s in sides
+    }
+    seq = [(s, i) for s in sides for i in range(len(dataset_map[s]))]
+    n = len(seq)
+    chunk = max(1, int(getattr(config, "frames_per_batch", 16)))
+
+    import jax
+
+    iterator = tqdm(range(0, n, chunk), desc=desc, disable=not show_progress)
+    for c0 in iterator:
+        part = seq[c0:c0 + chunk]
+        stacks, valids, Kc, Tc = [], [], [], []
+        j = 0
+        while j < len(part):
+            s = part[j][0]
+            k = j
+            while k < len(part) and part[k][0] == s:
+                k += 1
+            idx = np.asarray([i for _, i in part[j:k]])
+            st, va = load_filtered_depth_stack(
+                depth_data_io, s, dataset_map[s], idx,
+                config.use_confidence_filtered_depth,
+                config.confidence_threshold,
+                config.valid_count_threshold,
+            )
+            stacks.append(st)
+            valids.append(va)
+            Kc.append(Ks[s][idx])
+            Tc.append(Ts[s][idx])
+            j = k
+        stack = np.concatenate(stacks)
+        valid = np.concatenate(valids)
+        Kb = np.concatenate(Kc)
+        Tb = np.concatenate(Tc)
+        if len(part) < chunk:  # pad the tail to the static chunk size
+            pad = chunk - len(part)
+            stack = np.concatenate(
+                [stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+            Kb = np.concatenate(
+                [Kb, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+            Tb = np.concatenate(
+                [Tb, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+        if not valid.any():
+            continue
+        vol.integrate(stack, Kb, Tb, valid)
+        # Per-chunk barrier: see integrate().
+        jax.block_until_ready(vol.state.tsdf)
+
+    _warn_volume_overflow(vol)
     return vol

@@ -35,7 +35,7 @@ from mq3d_tpu.ops.tsdf import TSDFVolume
 from mq3d_tpu.recon.color_opt import optimize_color_pose
 from mq3d_tpu.recon.confidence import estimate_depth_confidences
 from mq3d_tpu.recon.depth_pose_optimizer import DepthPoseOptimizer
-from mq3d_tpu.recon.integrate import integrate
+from mq3d_tpu.recon.integrate import integrate, integrate_multi
 from mq3d_tpu.utils.log import log_step, substep
 
 # Viewer-time accounting (reference protocol: reconstruct_scene prints
@@ -100,17 +100,17 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
     if vbg is None:
         log_step("Integrate depth maps")
         ic = config.depth_integration
-        for side, dataset in depth_dataset_map.items():
-            with substep(f"integrate[{side.name}]"):
-                vbg = integrate(
-                    dataset=dataset,
-                    depth_data_io=data_io.depth,
-                    side=side,
-                    config=ic,
-                    vbg_opt=vbg,
-                    show_progress=True,
-                    desc=f"[{side.name}] Integrating depth maps",
-                )
+        # One fused chunk stream over both sides (same accumulation as the
+        # reference's sequential per-side loop; fewer device launches).
+        with substep("integrate"):
+            vbg = integrate_multi(
+                dataset_map=depth_dataset_map,
+                depth_data_io=data_io.depth,
+                config=ic,
+                vbg_opt=vbg,
+                show_progress=True,
+                desc="Integrating depth maps (both sides)",
+            )
 
     if vbg is None or vbg.n_active == 0:
         print("[Error] Failed to generate TSDF volume; check inputs/config.")

@@ -461,3 +461,62 @@ class TestAdaptiveExtractRetry:
         ph = np.sort(np.round(np.asarray(host.points) * 1e6).astype(np.int64), 0)
         pd = np.sort(np.round(np.asarray(dev.points) * 1e6).astype(np.int64), 0)
         np.testing.assert_array_equal(ph, pd)
+
+
+class TestIntegrateMulti:
+    """Side-fused chunk stream vs sequential per-side integrate() calls."""
+
+    def test_fused_sides_match_sequential(self, scene):
+        from types import SimpleNamespace
+
+        from mq3d_tpu.recon.integrate import integrate, integrate_multi
+
+        proj_dir, cfg, gt = scene
+        io = DataIO(proj_dir)
+        datasets = {}
+        for side in Side:
+            ds = io.depth.load_depth_dataset(side, use_cache=False)
+            ds.transforms = ds.transforms.convert_coordinate_system(
+                CoordinateSystem.OPEN3D, is_camera=True
+            )
+            datasets[side] = ds
+
+        # Chunk size NOT dividing the per-side count: the fused stream's
+        # second chunk spans the LEFT/RIGHT boundary.
+        icfg = SimpleNamespace(
+            voxel_size=CFG.voxel_size,
+            block_resolution=CFG.block_resolution,
+            block_count=CFG.block_count,
+            depth_max=CFG.depth_max,
+            trunc_voxel_multiplier=CFG.trunc_voxel_multiplier,
+            alloc_pixel_stride=CFG.alloc_pixel_stride,
+            grid_dim=CFG.grid_dim,
+            chunk_active_capacity=CFG.chunk_active_capacity,
+            integrate_tile=CFG.integrate_tile,
+            use_confidence_filtered_depth=False,
+            confidence_threshold=0.0,
+            valid_count_threshold=0,
+            frames_per_batch=5,
+        )
+        fused = integrate_multi(
+            dataset_map=datasets, depth_data_io=io.depth, config=icfg
+        )
+        seq = None
+        for side in Side:
+            seq = integrate(
+                dataset=datasets[side], depth_data_io=io.depth, side=side,
+                config=icfg, vbg_opt=seq,
+            )
+
+        assert fused.n_active == seq.n_active
+        c1 = np.asarray(fused.state.block_coords[: fused.n_active])
+        c2 = np.asarray(seq.state.block_coords[: seq.n_active])
+        k1 = np.lexsort(c1.T)
+        k2 = np.lexsort(c2.T)
+        np.testing.assert_array_equal(c1[k1], c2[k2])
+        w1 = np.asarray(fused.state.weight[: fused.n_active])[k1]
+        w2 = np.asarray(seq.state.weight[: seq.n_active])[k2]
+        np.testing.assert_array_equal(w1, w2)
+        t1 = np.asarray(fused.state.tsdf[: fused.n_active])[k1]
+        t2 = np.asarray(seq.state.tsdf[: seq.n_active])[k2]
+        np.testing.assert_allclose(t1, t2, atol=1e-5)
