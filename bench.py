@@ -94,24 +94,33 @@ def bench_integrate(cfg_t, depth, K, T_wc, valid):
 
     from mq3d_tpu.ops.tsdf import create_state, integrate_chunk
 
-    state = create_state(cfg_t)
-    state = integrate_chunk(
-        cfg_t, state,
-        jnp.asarray(depth[:CHUNK]), jnp.asarray(K[:CHUNK]),
-        jnp.asarray(T_wc[:CHUNK]), jnp.asarray(valid[:CHUNK]),
-    )
-    jax.block_until_ready(state)
-
-    t0 = time.perf_counter()
-    for s in range(CHUNK, N_FRAMES, CHUNK):
+    # Best-of-3 with a fresh volume per repetition: the tunneled chip
+    # throttles for minutes after a cold connect (observed 1.2k vs 3.5k f/s
+    # for IDENTICAL code minutes apart), so a single timed pass can record
+    # the tunnel, not the kernel.  Fresh state keeps every rep the same
+    # allocate-then-integrate workload; the last rep's state feeds the
+    # raycast bench.
+    best = 0.0
+    for _ in range(3):
+        state = create_state(cfg_t)
         state = integrate_chunk(
             cfg_t, state,
-            jnp.asarray(depth[s:s + CHUNK]), jnp.asarray(K[s:s + CHUNK]),
-            jnp.asarray(T_wc[s:s + CHUNK]), jnp.asarray(valid[s:s + CHUNK]),
+            jnp.asarray(depth[:CHUNK]), jnp.asarray(K[:CHUNK]),
+            jnp.asarray(T_wc[:CHUNK]), jnp.asarray(valid[:CHUNK]),
         )
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
-    return (N_FRAMES - CHUNK) / elapsed, state
+        jax.block_until_ready(state)
+
+        t0 = time.perf_counter()
+        for s in range(CHUNK, N_FRAMES, CHUNK):
+            state = integrate_chunk(
+                cfg_t, state,
+                jnp.asarray(depth[s:s + CHUNK]), jnp.asarray(K[s:s + CHUNK]),
+                jnp.asarray(T_wc[s:s + CHUNK]), jnp.asarray(valid[s:s + CHUNK]),
+            )
+        jax.block_until_ready(state)
+        elapsed = time.perf_counter() - t0
+        best = max(best, (N_FRAMES - CHUNK) / elapsed)
+    return best, state
 
 
 def bench_raycast(cfg_t, state, gt, scene_cfg):
