@@ -162,7 +162,7 @@ def dryrun_batch_multihost(n_hosts: int, n_sessions: int = 7) -> np.ndarray:
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     devices = np.asarray(jax.devices()[:n_hosts])
     assert devices.size == n_hosts, (
