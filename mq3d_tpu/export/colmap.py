@@ -312,9 +312,12 @@ def _data_lines_with_blanks(path: Path):
             if s.startswith("#"):
                 continue
             out.append(s)
-    # Trailing newline at EOF produces one spurious empty entry; drop
-    # trailing blanks only (interior blanks are empty POINTS2D lines).
-    while out and not out[-1] and len(out) % 2:
+    # Trailing newlines at EOF produce spurious empty entries; drop trailing
+    # blanks that cannot be data.  A blank is legitimate only as the second
+    # line of a pair (an empty POINTS2D list) under a non-blank header, so
+    # pop while the last blank sits in a header slot (odd length) or its
+    # would-be header is itself blank (an all-blank trailing pair).
+    while out and not out[-1] and (len(out) % 2 or not out[-2]):
         out.pop()
     return out
 

@@ -137,6 +137,11 @@ def convert_ply_to_fbx(ply_path: Path, fbx_path: Path, ascii: bool = False):
             return  # pragma: no cover
         except ImportError:
             pass
+        except Exception as e:  # pragma: no cover
+            # Aspose present but failing (license, unsupported PLY feature):
+            # fall back to the native writer rather than failing the export.
+            print(f"[Warning] Aspose PLY->FBX failed ({e}); "
+                  "using native FBX writer")
     mesh = read_ply(ply_path)
     if not isinstance(mesh, TriangleMesh):
         raise ValueError(f"{ply_path} does not contain a triangle mesh")
@@ -150,7 +155,8 @@ def convert_ply_to_fbx(ply_path: Path, fbx_path: Path, ascii: bool = False):
 
 def read_fbx_mesh(fbx_path: Path) -> TriangleMesh:
     """Load a binary or ASCII FBX mesh without external dependencies."""
-    head = Path(fbx_path).open("rb").read(21)
+    with Path(fbx_path).open("rb") as f:
+        head = f.read(21)
     if head.startswith(b"Kaydara FBX Binary"):
         from mq3d_tpu.export.fbx_binary import read_fbx_mesh as _read_bin
 
@@ -169,4 +175,7 @@ def convert_fbx_to_ply(fbx_path: Path, ply_path: Path):
         return  # pragma: no cover
     except ImportError:
         pass
+    except Exception as e:  # pragma: no cover
+        print(f"[Warning] Aspose FBX->PLY failed ({e}); "
+              "using native FBX reader")
     write_ply_mesh(ply_path, read_fbx_mesh(fbx_path))

@@ -291,9 +291,11 @@ def mesh_to_fbx_nodes(mesh: TriangleMesh) -> list[FbxNode]:
     ]
 
 
-def _per_vertex(values, n_verts, tris, layer: FbxNode):
+def _per_vertex(values, n_verts, tris, corners, layer: FbxNode):
     """Resolve a layer element to per-vertex rows, honoring the mapping and
-    reference modes that appear in the wild."""
+    reference modes that appear in the wild.  `corners` maps each triangle
+    corner back to its position in PolygonVertexIndex, so ByPolygonVertex
+    values stay aligned through fan-triangulation of >3-gons."""
     idx_node = None
     for cand in ("ColorIndex", "NormalsIndex", "UVIndex"):
         idx_node = layer.find(cand) or idx_node
@@ -307,7 +309,7 @@ def _per_vertex(values, n_verts, tris, layer: FbxNode):
         return values[:n_verts]
     if mapping == "ByPolygonVertex":
         out = np.zeros((n_verts, values.shape[1]), values.dtype)
-        out[tris.reshape(-1)] = values[: tris.size]
+        out[tris.reshape(-1)] = values[corners.reshape(-1)]
         return out
     return None
 
@@ -326,7 +328,10 @@ def fbx_nodes_to_mesh(nodes: list[FbxNode]) -> TriangleMesh:
     pvi = np.asarray(geom.find("PolygonVertexIndex").props[0], np.int64)
 
     # Decode polygons: negative entry (-i - 1) ends a polygon; fan-split.
+    # `corners` records each triangle corner's position in the original
+    # PolygonVertexIndex stream (needed to realign ByPolygonVertex layers).
     tris = []
+    corners = []
     start = 0
     ends = np.nonzero(pvi < 0)[0]
     for e in ends:
@@ -334,22 +339,24 @@ def fbx_nodes_to_mesh(nodes: list[FbxNode]) -> TriangleMesh:
         poly[-1] = -poly[-1] - 1
         for k in range(1, len(poly) - 1):
             tris.append((poly[0], poly[k], poly[k + 1]))
+            corners.append((start, start + k, start + k + 1))
         start = e + 1
     tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    corners = np.asarray(corners, np.int64).reshape(-1, 3)
 
     mesh = TriangleMesh(verts, tris)
     col = geom.find("LayerElementColor")
     if col is not None and col.find("Colors") is not None:
         rgba = np.asarray(col.find("Colors").props[0], np.float64)
         rgba = rgba.reshape(-1, 4)
-        rows = _per_vertex(rgba, len(verts), tris, col)
+        rows = _per_vertex(rgba, len(verts), tris, corners, col)
         if rows is not None:
             mesh.vertex_colors = rows[:, :3]
     nrm = geom.find("LayerElementNormal")
     if nrm is not None and nrm.find("Normals") is not None:
         vals = np.asarray(nrm.find("Normals").props[0], np.float64)
         vals = vals.reshape(-1, 3)
-        rows = _per_vertex(vals, len(verts), tris, nrm)
+        rows = _per_vertex(vals, len(verts), tris, corners, nrm)
         if rows is not None:
             mesh.vertex_normals = rows
     return mesh

@@ -505,6 +505,16 @@ def _render_frames(
     if pyramid_scales is not None:
         scales = [s for s in pyramid_scales
                   if width % s == 0 and height % s == 0]
+        # The coarse-to-fine upsample needs each level to be an integer
+        # multiple of the next (f = s_prev // s exact and >= 1), so drop any
+        # scale that does not strictly divide its predecessor — e.g. the 4
+        # in (6, 4, 1) or an ascending 8 in (4, 8) would otherwise produce
+        # f in {0, 1} and crash the reshape at trace time.
+        kept = []
+        for s in sorted(set(scales), reverse=True):
+            if not kept or kept[-1] % s == 0:
+                kept.append(s)
+        scales = kept
         if not scales or scales[-1] != 1:
             scales = list(scales) + [1]
     else:
@@ -596,21 +606,11 @@ def _render_frames(
         invz = jnp.where(jnp.isfinite(z), 1.0 / z, 0.0)
         finite = jnp.isfinite(z)
 
-        def shift(x, d, axis):
-            # Edge-replicated shift: jnp.roll wraps, which made the border
-            # rows/columns of every level fire the planarity test against
-            # the opposite side of the frame (~20% of all flagged edges on
-            # the analytic room).
-            n_ax = x.shape[axis]
-            if d > 0:
-                body = jax.lax.slice_in_dim(x, 0, n_ax - d, axis=axis)
-                pad = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-                parts = [pad] * d + [body]
-            else:
-                body = jax.lax.slice_in_dim(x, -d, n_ax, axis=axis)
-                pad = jax.lax.slice_in_dim(x, n_ax - 1, n_ax, axis=axis)
-                parts = [body] + [pad] * (-d)
-            return jnp.concatenate(parts, axis=axis)
+        # Edge-replicated shift (jnp.roll wraps, which made the border
+        # rows/columns of every level fire the planarity test against the
+        # opposite side of the frame — ~20% of all flagged edges on the
+        # analytic room).
+        shift = _shift_clamped
 
         d2u = jnp.abs(
             invz - 0.5 * (shift(invz, 1, 2) + shift(invz, -1, 2))

@@ -834,11 +834,17 @@ class TSDFVolume:
             else fetch_int(self.state.dropped_active)
         )
         state = integrate_chunk(self.cfg, self.state, *args, jnp.int32(0))
+        o_first = None
         d_prev, skip = d_before, 0
         while True:
             d_now = fetch_int(state.dropped_active)
             if d_now == d_prev:
                 break
+            if o_first is None:
+                # Block-pool overflow after the FIRST pass: retry passes see
+                # the same still-unallocatable blocks and would re-add the
+                # identical count, so snapshot it once and restore below.
+                o_first = fetch_int(state.overflow)
             skip += self.cfg.chunk_active_capacity
             state = integrate_chunk(
                 self.cfg, state, *args, jnp.int32(skip)
@@ -848,7 +854,8 @@ class TSDFVolume:
             # The retry passes drained every window: the per-pass remainder
             # increments were bookkeeping, not lost observations.
             state = state._replace(
-                dropped_active=jnp.asarray(d_before, jnp.int32)
+                dropped_active=jnp.asarray(d_before, jnp.int32),
+                overflow=jnp.asarray(o_first, jnp.int32),
             )
         self.state = state
         self._dropped_host = d_before

@@ -44,7 +44,15 @@ def resolve_host_topology(
     """(host_id, n_hosts) from explicit args, else jax.distributed, else
     (0, 1)."""
     if host_id is not None or n_hosts is not None:
-        return int(host_id or 0), int(n_hosts or 1)
+        hid, n = int(host_id or 0), int(n_hosts or 1)
+        # A lone --host-id would make this host skip sessions that no other
+        # host runs (assign_sessions strides by n_hosts=1 starting at hid)
+        # and still report success — reject instead of silently dropping.
+        if not 0 <= hid < n:
+            raise ValueError(
+                f"host_id={hid} out of range for n_hosts={n}; pass both "
+                "--host-id and --n-hosts with 0 <= host_id < n_hosts")
+        return hid, n
     try:
         import jax
 

@@ -342,6 +342,11 @@ def sharded_confidence_step(mesh: Mesh, axis: str = "data"):
     return build
 
 
+# Jitted shard_map renderers keyed on their static configuration (see
+# sharded_raycast_batch).
+_RAYCAST_EXECUTABLES: dict = {}
+
+
 def sharded_raycast_batch(
     volume,
     mesh: Mesh,
@@ -382,21 +387,30 @@ def sharded_raycast_batch(
         np.float32)
     edge_cap = max((F // n_dev) * width * height // 16, 4096)
 
-    def local(sd, e, ab, K_l, R_l, o_l):
-        z, overflow = _render_frames(
-            cfg, sd, e, ab, n_bucket, K_l, R_l, o_l,
-            jnp.float32(t_min), jnp.float32(t_max_v),
-            width, height, edge_cap, jnp.float32(edge_eps),
-        )
-        return z, jax.lax.psum(overflow, axis)
+    # One jitted executable per static configuration: rebuilding the
+    # shard_map closure per call would re-trace the full pyramid render
+    # program every time (the persistent XLA cache absorbs the re-compile
+    # but not the re-trace/lower).
+    key = (cfg, mesh, axis, n_bucket, width, height, edge_cap,
+           float(t_min), float(t_max_v), float(edge_eps))
+    fn = _RAYCAST_EXECUTABLES.get(key)
+    if fn is None:
+        def local(sd, e, ab, K_l, R_l, o_l):
+            z, overflow = _render_frames(
+                cfg, sd, e, ab, n_bucket, K_l, R_l, o_l,
+                jnp.float32(t_min), jnp.float32(t_max_v),
+                width, height, edge_cap, jnp.float32(edge_eps),
+            )
+            return z, jax.lax.psum(overflow, axis)
 
-    fn = jax.jit(jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P()),
-        check_vma=False,
-    ))
+        fn = jax.jit(jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        ))
+        _RAYCAST_EXECUTABLES[key] = fn
     z, overflow = fn(
         slot_dist, ext, aabb,
         jnp.asarray(np.asarray(intrinsics, np.float32)),

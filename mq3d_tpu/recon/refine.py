@@ -286,7 +286,6 @@ def compute_pcd_pair_edges_batched(
     """
     from mq3d_tpu.ops.icp import (
         build_grid_nn,
-        registration_icp_batch,
         registration_icp_batch_shared,
     )
 

@@ -226,3 +226,30 @@ class TestUpsampleBilinear:
         want = jax.image.resize(x, (3, 24 * f, 16 * f), method="linear")
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+class TestPyramidScaleSanitization:
+    """Scale sets whose consecutive levels do not divide (f = s_prev // s
+    would be 0 or a non-exact 1) must be repaired, not crash at trace time
+    (ops/raycast.py)."""
+
+    @pytest.mark.parametrize("scales", [(6, 4, 1), (4, 8), (3, 2)])
+    def test_non_dividing_scales_render(self, loaded, scales):
+        from mq3d_tpu.ops.raycast import raycast_depth_batch
+
+        io, ds, depth, valid, K, T_cw, T_wc, cfg = loaded
+        vol = TSDFVolume(
+            TSDFConfig(
+                voxel_size=0.04, block_resolution=16, block_count=2048,
+                grid_dim=16, depth_max=4.0, trunc_voxel_multiplier=4.0,
+                chunk_active_capacity=2048, integrate_tile=256,
+            )
+        )
+        vol.integrate(depth, K, T_wc, valid)
+        # 24 is divisible by 6, 4, 3, 2, 8 — every candidate passes the
+        # frame-size filter and only the divisibility repair can save it.
+        w = h = 24
+        z = raycast_depth_batch(
+            vol, K[:1], T_wc[:1], w, h, pyramid_scales=scales)
+        assert z.shape == (1, h, w)
+        assert np.isfinite(z).mean() > 0.3

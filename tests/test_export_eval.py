@@ -606,3 +606,74 @@ class TestHolesScale:
         assert out["scale_factor"] == pytest.approx(1 / 0.7, rel=1e-3)
         assert out["chamfer"] < 0.02
         assert out["pred_num_holes"] == 0
+
+
+class TestFbxPolygonVertexLayers:
+    def test_bypolygonvertex_quad_alignment(self, tmp_path):
+        """ByPolygonVertex values are ordered by PolygonVertexIndex corner;
+        fan-triangulation of quads must keep each corner's value with its
+        vertex (export/fbx_binary.py _per_vertex)."""
+        from mq3d_tpu.export.fbx_binary import (
+            FbxNode, fbx_nodes_to_mesh, read_fbx, write_fbx,
+        )
+
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [2, 0, 0],
+             [2, 1, 0]], np.float64)
+        # Two quads (0,1,2,3) and (1,4,5,2); last index stored as -i-1.
+        pvi = np.array([0, 1, 2, -4, 1, 4, 5, -3], np.int64)
+        # Corner color encodes its vertex id in the R channel.
+        corner_verts = np.array([0, 1, 2, 3, 1, 4, 5, 2])
+        rgba = np.zeros((8, 4), np.float64)
+        rgba[:, 0] = corner_verts / 10.0
+        geom = FbxNode("Geometry", [1000, "Geometry::mesh", "Mesh"], [
+            FbxNode("Vertices", [verts.reshape(-1)]),
+            FbxNode("PolygonVertexIndex", [pvi]),
+            FbxNode("LayerElementColor", [0], [
+                FbxNode("MappingInformationType", ["ByPolygonVertex"]),
+                FbxNode("ReferenceInformationType", ["Direct"]),
+                FbxNode("Colors", [rgba.reshape(-1)]),
+            ]),
+        ])
+        path = tmp_path / "quads.fbx"
+        write_fbx(path, [FbxNode("Objects", [], [geom])])
+        mesh = fbx_nodes_to_mesh(read_fbx(path))
+        assert mesh.triangles.shape == (4, 3)
+        np.testing.assert_allclose(
+            mesh.vertex_colors[:, 0], np.arange(6) / 10.0, atol=1e-12)
+
+
+class TestColmapTrailingBlanks:
+    def test_images_text_trailing_blank_lines(self, tmp_path):
+        """images.txt terminated by several blank lines (even count) must
+        still parse (export/colmap.py _data_lines_with_blanks)."""
+        from mq3d_tpu.export.colmap import read_images_text
+
+        txt = (
+            "# comment\n"
+            "1 0.1 0.2 0.3 0.9 1.0 2.0 3.0 1 a.png\n"
+            "0.5 0.5 7\n"
+            "2 0.0 0.0 0.0 1.0 0.0 0.0 0.0 1 b.png\n"
+            "\n"  # image 2 has zero points (legitimate blank)
+            "\n\n"  # spurious trailing blanks (even count)
+        )
+        p = tmp_path / "images.txt"
+        p.write_text(txt)
+        images = read_images_text(p)
+        assert set(images) == {1, 2}
+        assert images[1].name == "a.png"
+        assert len(images[2].xys) == 0
+
+
+class TestMultihostTopologyGuard:
+    def test_lone_host_id_rejected(self):
+        """--host-id without --n-hosts would silently skip sessions on a
+        1-host stride; it must be rejected (parallel/multihost.py)."""
+        import pytest as _pytest
+
+        from mq3d_tpu.parallel.multihost import resolve_host_topology
+
+        with _pytest.raises(ValueError):
+            resolve_host_topology(host_id=1, n_hosts=None)
+        assert resolve_host_topology(host_id=1, n_hosts=4) == (1, 4)
+        assert resolve_host_topology(host_id=None, n_hosts=4) == (0, 4)

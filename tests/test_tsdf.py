@@ -520,3 +520,22 @@ class TestIntegrateMulti:
         t1 = np.asarray(fused.state.tsdf[: fused.n_active])[k1]
         t2 = np.asarray(seq.state.tsdf[: seq.n_active])[k2]
         np.testing.assert_allclose(t1, t2, atol=1e-5)
+
+
+def test_autosplit_pool_overflow_counted_once():
+    """When a chunk both saturates the BLOCK POOL (block_count) and
+    overflows the active-window capacity, the windowed retry passes see the
+    same still-unallocatable blocks each time and must not re-count them:
+    state.overflow must equal the single-pass (large-capacity) count
+    (ops/tsdf.py TSDFVolume.integrate)."""
+    depth, K, T = _overflow_inputs()
+
+    small = TSDFVolume(_overflow_cfg(block_count=8))
+    small.integrate(depth, K, T)
+
+    ref = TSDFVolume(_overflow_cfg(block_count=8, chunk_active_capacity=2048))
+    ref.integrate(depth, K, T)
+
+    o_ref = int(np.asarray(ref.state.overflow))
+    assert o_ref > 0  # the pool genuinely saturated
+    assert int(np.asarray(small.state.overflow)) == o_ref
