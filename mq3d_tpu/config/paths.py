@@ -72,6 +72,10 @@ COLOR_ALIGNED_DEPTH_DIR_MAP = {
 CACHE_DIR_PATH = "cache"
 FRAGMENT_DATASET_CACHE_DIR_PATH = f"{CACHE_DIR_PATH}/dataset"
 FRAGMENT_PCD_CACHE_DIR_PATH = f"{CACHE_DIR_PATH}/pcd"
+# TPU-build-only cache (not a reference artifact): packed, mmap-able stack of
+# the per-frame confidence npz maps, so the integrate hot path slices chunks
+# out of two .npy files instead of opening one zip per frame per chunk.
+CONFIDENCE_PACK_CACHE_DIR_PATH = f"{CACHE_DIR_PATH}/confidence"
 
 
 class ImagePathConfig:
@@ -136,6 +140,15 @@ class DepthPathConfig:
 
     def get_depth_confidence_map_path(self, side: Side, timestamp: int) -> Path:
         return self.get_depth_confidence_map_dir_path(side) / f"{timestamp}.npz"
+
+    def get_confidence_pack_path(self, side: Side, member: str) -> Path:
+        """Packed confidence cache member ('timestamps' | 'confidence' |
+        'valid_count') as an mmap-able .npy (see CONFIDENCE_PACK_CACHE_DIR_PATH)."""
+        return (
+            self.project_dir
+            / CONFIDENCE_PACK_CACHE_DIR_PATH
+            / f"{side.name.lower()}_{member}.npy"
+        )
 
     def get_depth_dataset_path(self, side: Side) -> Path:
         return self.project_dir / DEPTH_DATASET_NPZ_MAP[side]

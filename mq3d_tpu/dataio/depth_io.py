@@ -31,6 +31,8 @@ class DepthDataIO:
         # Confidence maps are consumed by several stages (fragments,
         # refinement, integration) for the same frames; cache decoded maps.
         self._confidence_cache: Dict[tuple, Optional[ConfidenceMap]] = {}
+        # Open mmap handles of the packed confidence stacks, per side.
+        self._confidence_pack: Dict[Side, tuple] = {}
 
     # -- descriptors -------------------------------------------------------------
 
@@ -160,6 +162,192 @@ class DepthDataIO:
             valid_count=confidence_map.valid_count,
         )
         self._confidence_cache[(side, int(timestamp))] = confidence_map
+        # A new/changed per-frame map makes the packed stack stale.
+        self.invalidate_confidence_pack(side)
+
+    # -- packed confidence stack ------------------------------------------------------
+    #
+    # The integrate hot path consumes confidence maps for every frame of every
+    # chunk (recon/integrate.py); opening one npz per frame per chunk is real
+    # host time at 1000 frames on a small host.  The pack stores all of a
+    # side's maps as three .npy files (timestamps, confidence, valid_count)
+    # that load as O(1) memory maps; chunk requests then slice rows.
+
+    _PACK_MEMBERS = ("timestamps", "confidence", "valid_count")
+
+    def _confidence_pack_paths(self, side: Side):
+        pc = self.depth_path_config
+        return [pc.get_confidence_pack_path(side, m) for m in self._PACK_MEMBERS]
+
+    def invalidate_confidence_pack(self, side: Side) -> None:
+        self._confidence_pack.pop(side, None)
+        for p in self._confidence_pack_paths(side):
+            try:
+                p.unlink()
+            except FileNotFoundError:
+                pass
+
+    def build_confidence_pack(self, side: Side) -> bool:
+        """Pack every per-frame confidence npz of `side` into mmap-able .npy
+        stacks. Returns False when no per-frame maps exist. O(1) host memory
+        (streams frame-by-frame into memory-mapped outputs)."""
+        self._confidence_pack.pop(side, None)
+        dir_path = self.depth_path_config.get_depth_confidence_map_dir_path(side)
+        if not dir_path.exists():
+            return False
+        ts = sorted(
+            int(p.stem) for p in dir_path.glob("*.npz") if p.stem.isdigit()
+        )
+        if not ts:
+            return False
+        first = np.load(self.depth_path_config.get_depth_confidence_map_path(side, ts[0]))
+        conf0 = first["confidence_map"]
+        cnt0 = first["valid_count"]
+        n = len(ts)
+        ts_path, conf_path, cnt_path = self._confidence_pack_paths(side)
+        ts_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp_conf = conf_path.with_suffix(".tmp.npy")
+        tmp_cnt = cnt_path.with_suffix(".tmp.npy")
+        conf_mm = np.lib.format.open_memmap(
+            tmp_conf, mode="w+", dtype=conf0.dtype, shape=(n,) + conf0.shape
+        )
+        cnt_mm = np.lib.format.open_memmap(
+            tmp_cnt, mode="w+", dtype=cnt0.dtype, shape=(n,) + cnt0.shape
+        )
+        kept = []
+        try:
+            conf_mm[0] = conf0
+            cnt_mm[0] = cnt0
+            kept.append(ts[0])
+            for t in ts[1:]:
+                data = np.load(
+                    self.depth_path_config.get_depth_confidence_map_path(side, t)
+                )
+                cm = data["confidence_map"]
+                if cm.shape != conf0.shape:
+                    # A stray map at a different resolution (e.g. from an
+                    # aborted run at another config) must not poison the
+                    # pack; the per-frame fallback still serves it.
+                    print(
+                        f"[Warning] Confidence map {t} shape {cm.shape} != "
+                        f"pack shape {conf0.shape}; leaving it out of the pack"
+                    )
+                    continue
+                i = len(kept)
+                conf_mm[i] = cm
+                cnt_mm[i] = data["valid_count"]
+                kept.append(t)
+            conf_mm.flush()
+            cnt_mm.flush()
+        except Exception:
+            del conf_mm, cnt_mm
+            tmp_conf.unlink(missing_ok=True)
+            tmp_cnt.unlink(missing_ok=True)
+            raise
+        del conf_mm, cnt_mm
+        # Timestamps last: their existence marks the pack complete.  Skipped
+        # rows leave trailing zero pages in the .npy; _open_confidence_pack
+        # slices to len(timestamps).
+        import os
+
+        os.replace(tmp_conf, conf_path)
+        os.replace(tmp_cnt, cnt_path)
+        np.save(ts_path, np.asarray(kept, np.int64))
+        return True
+
+    def _open_confidence_pack(self, side: Side):
+        """(timestamps, conf_mmap, cnt_mmap) or None."""
+        cached = self._confidence_pack.get(side)
+        if cached is not None:
+            return cached
+        ts_path, conf_path, cnt_path = self._confidence_pack_paths(side)
+        if not (ts_path.exists() and conf_path.exists() and cnt_path.exists()):
+            return None
+        try:
+            ts = np.load(ts_path)
+            conf = np.load(conf_path, mmap_mode="r")
+            cnt = np.load(cnt_path, mmap_mode="r")
+            # Shape-skipped frames leave trailing spare rows in the stacks.
+            if len(ts) > len(conf) or len(ts) > len(cnt):
+                return None
+            conf = conf[: len(ts)]
+            cnt = cnt[: len(ts)]
+        except Exception as e:
+            print(f"[Warning] Corrupt confidence pack for {side.name}: {e}")
+            return None
+        self._confidence_pack[side] = (ts, conf, cnt)
+        return self._confidence_pack[side]
+
+    def load_confidence_stack(
+        self, side: Side, timestamps: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched confidence read: (conf (N,H,W), valid_count (N,H,W),
+        have (N,) bool) for the requested timestamps; rows with have=False
+        are zero. Builds/refreshes the packed cache on demand; timestamps
+        with a per-frame npz on disk but absent from the pack trigger one
+        rebuild."""
+        timestamps = np.asarray(timestamps, np.int64)
+        n = len(timestamps)
+        pack = self._open_confidence_pack(side)
+        for _attempt in range(2):
+            if pack is None:
+                missing_on_disk = any(
+                    self.depth_path_config.get_depth_confidence_map_path(
+                        side, int(t)
+                    ).exists()
+                    for t in timestamps
+                )
+                if not missing_on_disk or not self.build_confidence_pack(side):
+                    break
+                pack = self._open_confidence_pack(side)
+                continue
+            ts, conf_mm, cnt_mm = pack
+            pos = np.searchsorted(ts, timestamps)
+            pos_c = np.minimum(pos, len(ts) - 1)
+            have = ts[pos_c] == timestamps
+            stale = [
+                int(t)
+                for t, h in zip(timestamps, have)
+                if not h
+                and self.depth_path_config.get_depth_confidence_map_path(
+                    side, int(t)
+                ).exists()
+            ]
+            if stale and _attempt == 0:
+                if self.build_confidence_pack(side):
+                    pack = self._open_confidence_pack(side)
+                    continue
+            break
+        if pack is None:
+            # No pack possible: fall back to per-frame loads.
+            conf = cnt = None
+            have = np.zeros(n, bool)
+            for i, t in enumerate(timestamps):
+                cm = self.load_confidence_map(side, int(t))
+                if cm is None:
+                    continue
+                if conf is None:
+                    conf = np.zeros((n,) + cm.confidence_map.shape, cm.confidence_map.dtype)
+                    cnt = np.zeros((n,) + cm.valid_count.shape, cm.valid_count.dtype)
+                conf[i] = cm.confidence_map
+                cnt[i] = cm.valid_count
+                have[i] = True
+            if conf is None:
+                return (
+                    np.zeros((n, 0, 0), np.float32),
+                    np.zeros((n, 0, 0), np.float32),
+                    have,
+                )
+            return conf, cnt, have
+        ts, conf_mm, cnt_mm = pack
+        pos = np.minimum(np.searchsorted(ts, timestamps), len(ts) - 1)
+        have = ts[pos] == timestamps
+        conf = np.zeros((n,) + conf_mm.shape[1:], conf_mm.dtype)
+        cnt = np.zeros((n,) + cnt_mm.shape[1:], cnt_mm.dtype)
+        if have.any():
+            conf[have] = conf_mm[pos[have]]
+            cnt[have] = cnt_mm[pos[have]]
+        return conf, cnt, have
 
     # -- datasets ------------------------------------------------------------------------
 

@@ -196,6 +196,7 @@ def estimate_depth_confidences(
         ]
         if not todo:
             print(f"[{side.name}] All confidence maps cached.")
+            depth_data_io.build_confidence_pack(side)
             continue
 
         depth_stack, frame_valid = depth_data_io.load_depth_stack(side, dataset)
@@ -235,3 +236,7 @@ def estimate_depth_confidences(
                     int(dataset.timestamps[i]),
                     ConfidenceMap(confidence_map=conf[bi], valid_count=cnt[bi]),
                 )
+        # One packed mmap-able stack for the integrate hot path
+        # (recon/integrate.py slices chunks out of it instead of opening
+        # one npz per frame per chunk).
+        depth_data_io.build_confidence_pack(side)

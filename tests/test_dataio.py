@@ -84,6 +84,105 @@ class TestDepthIO:
         np.testing.assert_array_equal(loaded.confidence_map, cm.confidence_map)
         np.testing.assert_array_equal(loaded.valid_count, cm.valid_count)
 
+    def test_confidence_pack_matches_per_frame(self, project, rng):
+        """The packed stack must return exactly the per-frame npz contents,
+        rebuild itself when a map changes, and flag missing timestamps."""
+        proj_dir, _, _ = project
+        from mq3d_tpu.models.camera import ConfidenceMap
+
+        io = DataIO(proj_dir)
+        # The shared project fixture may hold maps from earlier tests at a
+        # different resolution; start from a clean per-frame set.
+        cdir = io.depth.depth_path_config.get_depth_confidence_map_dir_path(Side.LEFT)
+        if cdir.exists():
+            for p in cdir.glob("*.npz"):
+                p.unlink()
+        io.depth.invalidate_confidence_pack(Side.LEFT)
+        ts_all = [100, 250, 400]
+        maps = {}
+        for t in ts_all:
+            cm = ConfidenceMap(
+                confidence_map=rng.random((6, 7)).astype(np.float32),
+                valid_count=rng.integers(0, 5, (6, 7)).astype(np.int32),
+            )
+            io.depth.save_confidence_map(Side.LEFT, t, cm)
+            maps[t] = cm
+
+        req = np.array([250, 999, 100], np.int64)  # unordered + one missing
+        conf, cnt, have = io.depth.load_confidence_stack(Side.LEFT, req)
+        np.testing.assert_array_equal(have, [True, False, True])
+        np.testing.assert_array_equal(conf[0], maps[250].confidence_map)
+        np.testing.assert_array_equal(cnt[0], maps[250].valid_count)
+        np.testing.assert_array_equal(conf[2], maps[100].confidence_map)
+        assert (conf[1] == 0).all()
+
+        # Pack files exist on disk after the build.
+        assert io.depth.depth_path_config.get_confidence_pack_path(
+            Side.LEFT, "confidence"
+        ).exists()
+
+        # Overwriting a frame invalidates + rebuilds transparently.
+        cm2 = ConfidenceMap(
+            confidence_map=np.full((6, 7), 0.5, np.float32),
+            valid_count=np.full((6, 7), 9, np.int32),
+        )
+        io.depth.save_confidence_map(Side.LEFT, 250, cm2)
+        conf, cnt, have = io.depth.load_confidence_stack(
+            Side.LEFT, np.array([250], np.int64)
+        )
+        assert have.all()
+        np.testing.assert_array_equal(conf[0], cm2.confidence_map)
+
+        # A fresh timestamp written by another process (no in-memory
+        # invalidation) is picked up by the staleness rebuild.
+        io2 = DataIO(proj_dir)
+        _ = io2.depth.load_confidence_stack(Side.LEFT, np.array([100], np.int64))
+        io.depth.save_confidence_map(Side.LEFT, 777, cm2)
+        conf, cnt, have = io2.depth.load_confidence_stack(
+            Side.LEFT, np.array([777], np.int64)
+        )
+        assert have.all()
+        np.testing.assert_array_equal(conf[0], cm2.confidence_map)
+
+    def test_filtered_depth_stack_matches_per_frame_reference(self, project, rng):
+        """Vectorized confidence filtering == the reference's per-frame
+        masked writes (o3d_utils.py:109-150)."""
+        proj_dir, cfg, _ = project
+        from mq3d_tpu.models.camera import ConfidenceMap
+        from mq3d_tpu.recon.integrate import load_filtered_depth_stack
+
+        io = DataIO(proj_dir)
+        cdir = io.depth.depth_path_config.get_depth_confidence_map_dir_path(Side.LEFT)
+        if cdir.exists():
+            for p in cdir.glob("*.npz"):
+                p.unlink()
+        io.depth.invalidate_confidence_pack(Side.LEFT)
+        ds = io.depth.load_depth_dataset(Side.LEFT)
+        h, w = cfg.depth_height, cfg.depth_width
+        for t in np.asarray(ds.timestamps):
+            io.depth.save_confidence_map(
+                Side.LEFT,
+                int(t),
+                ConfidenceMap(
+                    confidence_map=rng.random((h, w)).astype(np.float32),
+                    valid_count=rng.integers(0, 6, (h, w)).astype(np.int32),
+                ),
+            )
+        idx = np.arange(len(ds))
+        got, valid = load_filtered_depth_stack(
+            io.depth, Side.LEFT, ds, idx,
+            use_confidence_filtered_depth=True,
+            confidence_threshold=0.4,
+            valid_count_threshold=3,
+        )
+        want, _ = io.depth.load_depth_stack(Side.LEFT, ds, idx)
+        for i in idx:
+            cm = io.depth.load_confidence_map(Side.LEFT, int(ds.timestamps[i]))
+            frame = want[i]
+            frame[cm.confidence_map < 0.4] = 0.0
+            frame[cm.valid_count < 3] = 0.0
+        np.testing.assert_array_equal(got, want)
+
 
 class TestColorIO:
     def test_build_color_dataset_poses_match_gt(self, project):
