@@ -32,24 +32,27 @@ def load_filtered_depth_stack(
     confidence_threshold: float,
     valid_count_threshold: int,
 ):
-    """(N, H, W) linear depth stack with confidence filtering applied."""
+    """(N, H, W) linear depth stack with confidence filtering applied.
+
+    Confidence maps arrive as one packed mmap slice per chunk
+    (DepthDataIO.load_confidence_stack) and the thresholds apply as a single
+    vectorized mask — not one npz open + two masked writes per frame."""
     stack, valid = depth_data_io.load_depth_stack(side, dataset, indices)
     if use_confidence_filtered_depth:
-        for out_i, i in enumerate(indices):
-            if not valid[out_i]:
-                continue
-            cm = depth_data_io.load_confidence_map(
-                side, int(dataset.timestamps[int(i)])
+        ts = np.asarray(dataset.timestamps)[np.asarray(indices, np.int64)]
+        conf, cnt, have = depth_data_io.load_confidence_stack(side, ts)
+        for t in ts[valid & ~have]:
+            print(f"[Warning] Confidence map not found for timestamp {t}")
+        sel = valid & have
+        if sel.any() and conf.shape[1:] == stack.shape[1:]:
+            kill = (conf < confidence_threshold) | (cnt < valid_count_threshold)
+            kill &= sel[:, None, None]
+            stack[kill] = 0.0
+        elif sel.any():
+            print(
+                f"[Warning] Confidence map shape {conf.shape[1:]} does not "
+                f"match depth {stack.shape[1:]}; skipping confidence filter"
             )
-            if cm is None:
-                print(
-                    f"[Warning] Confidence map not found for timestamp "
-                    f"{dataset.timestamps[int(i)]}"
-                )
-                continue
-            frame = stack[out_i]
-            frame[cm.confidence_map < confidence_threshold] = 0.0
-            frame[cm.valid_count < valid_count_threshold] = 0.0
     return stack, valid
 
 
@@ -83,6 +86,9 @@ def integrate(
     Mirrors the reference integrate() surface (o3d_utils.py:153-238): both
     stereo sides accumulate into the same volume when `vbg_opt` is passed.
     Dataset transforms must already be in the OPEN3D camera frame.
+
+    Exhausting the block pool (block_count) grows the pool and replays the
+    whole dataset (see _integrate_with_growth) — no observations are lost.
     """
     vol = vbg_opt if vbg_opt is not None else TSDFVolume(
         tsdf_config_from_integration(config)
@@ -96,40 +102,96 @@ def integrate(
     T_wc = dataset.transforms.extrinsics_wc.astype(np.float32)
 
     chunk = max(1, int(getattr(config, "frames_per_batch", 16)))
-    starts = range(0, n, chunk)
-    iterator = tqdm(starts, desc=desc, disable=not show_progress)
-    for s in iterator:
-        idx = np.arange(s, min(s + chunk, n))
-        stack, valid = load_filtered_depth_stack(
-            depth_data_io,
-            side,
-            dataset,
-            idx,
-            config.use_confidence_filtered_depth,
-            config.confidence_threshold,
-            config.valid_count_threshold,
-        )
-        if not valid.any():
-            continue
-        # Pad the tail chunk to the static chunk size to avoid recompiles.
-        if len(idx) < chunk:
-            pad = chunk - len(idx)
-            stack = np.concatenate([stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
-            Kc = np.concatenate([K[idx], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
-            Tc = np.concatenate([T_wc[idx], np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
-        else:
-            Kc, Tc = K[idx], T_wc[idx]
-        vol.integrate(stack, Kc, Tc, valid)
-        # Sync each chunk: long async donation chains intermittently degrade
-        # on tunneled TPU runtimes (final waits can take ~50x the compute);
-        # a per-chunk barrier costs one RTT and keeps the queue shallow.
+
+    def run_all(v: TSDFVolume) -> None:
         import jax
 
-        jax.block_until_ready(vol.state.tsdf)
+        iterator = tqdm(
+            range(0, n, chunk), desc=desc, disable=not show_progress
+        )
+        for s in iterator:
+            idx = np.arange(s, min(s + chunk, n))
+            stack, valid = load_filtered_depth_stack(
+                depth_data_io,
+                side,
+                dataset,
+                idx,
+                config.use_confidence_filtered_depth,
+                config.confidence_threshold,
+                config.valid_count_threshold,
+            )
+            if not valid.any():
+                continue
+            # Pad the tail chunk to the static chunk size (no recompiles).
+            if len(idx) < chunk:
+                pad = chunk - len(idx)
+                stack = np.concatenate(
+                    [stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+                Kc = np.concatenate(
+                    [K[idx], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+                Tc = np.concatenate(
+                    [T_wc[idx], np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+            else:
+                Kc, Tc = K[idx], T_wc[idx]
+            v.integrate(stack, Kc, Tc, valid)
+            # Sync each chunk: long async donation chains intermittently
+            # degrade on tunneled TPU runtimes (final waits can take ~50x
+            # the compute); a per-chunk barrier costs one RTT and keeps the
+            # queue shallow.
+            jax.block_until_ready(v.state.tsdf)
 
-    _warn_volume_overflow(vol)
+    _integrate_with_growth(vol, run_all, entry_empty=_volume_is_empty(vol))
     return vol
+
+
+def _volume_is_empty(vol: TSDFVolume) -> bool:
+    """True when the volume holds no prior content (safe to rebuild from
+    scratch on block-pool overflow)."""
+    return (
+        fetch_int(vol.state.n_active) == 0
+        and fetch_int(vol.state.overflow) == 0
+    )
+
+
+# Doubling the block pool more than this many times means the workload is
+# ~10x the configured capacity — treat as misconfiguration, keep the data
+# we have, and warn.
+_MAX_POOL_GROWTHS = 3
+
+
+def _integrate_with_growth(vol, run_all, entry_empty: bool) -> None:
+    """Run `run_all(vol)` and, when the fixed block pool overflows, grow the
+    pool in place (2x) and replay from an empty volume until every
+    allocation fits (reference semantics: Open3D's VoxelBlockGrid hashmap
+    rehashes+grows transparently, core/hashmap/HashMap.cpp — a fixed pool
+    that silently drops blocks would diverge from it).
+
+    Growth replays only when the volume held no content at entry (the
+    pipeline paths: reconstruct_scene's scene volume, refine's reset
+    per-fragment volume); a shared pre-loaded volume cannot be replayed, so
+    overflow there keeps the loud warning.
+    """
+    from dataclasses import replace
+
+    for _ in range(_MAX_POOL_GROWTHS + 1):
+        run_all(vol)
+        overflow = fetch_int(vol.state.overflow)
+        if overflow == 0 or not entry_empty:
+            break
+        new_count = vol.cfg.block_count * 2
+        print(
+            f"[Info] TSDF block pool exhausted ({overflow} allocations "
+            f"dropped at block_count={vol.cfg.block_count}); growing to "
+            f"{new_count} and re-integrating"
+        )
+        vol.cfg = replace(vol.cfg, block_count=new_count)
+        # Fresh state at the larger capacity (in place, so callers that
+        # reuse the volume across fragments keep the grown pool).
+        from mq3d_tpu.ops.tsdf import create_state
+
+        vol.state = create_state(vol.cfg)
+    _warn_volume_overflow(vol)
 
 
 def _warn_volume_overflow(vol: TSDFVolume) -> None:
@@ -207,48 +269,51 @@ def integrate_multi(
     n = len(seq)
     chunk = max(1, int(getattr(config, "frames_per_batch", 16)))
 
-    import jax
+    def run_all(v: TSDFVolume) -> None:
+        import jax
 
-    iterator = tqdm(range(0, n, chunk), desc=desc, disable=not show_progress)
-    for c0 in iterator:
-        part = seq[c0:c0 + chunk]
-        stacks, valids, Kc, Tc = [], [], [], []
-        j = 0
-        while j < len(part):
-            s = part[j][0]
-            k = j
-            while k < len(part) and part[k][0] == s:
-                k += 1
-            idx = np.asarray([i for _, i in part[j:k]])
-            st, va = load_filtered_depth_stack(
-                depth_data_io, s, dataset_map[s], idx,
-                config.use_confidence_filtered_depth,
-                config.confidence_threshold,
-                config.valid_count_threshold,
-            )
-            stacks.append(st)
-            valids.append(va)
-            Kc.append(Ks[s][idx])
-            Tc.append(Ts[s][idx])
-            j = k
-        stack = np.concatenate(stacks)
-        valid = np.concatenate(valids)
-        Kb = np.concatenate(Kc)
-        Tb = np.concatenate(Tc)
-        if len(part) < chunk:  # pad the tail to the static chunk size
-            pad = chunk - len(part)
-            stack = np.concatenate(
-                [stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
-            Kb = np.concatenate(
-                [Kb, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
-            Tb = np.concatenate(
-                [Tb, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
-        if not valid.any():
-            continue
-        vol.integrate(stack, Kb, Tb, valid)
-        # Per-chunk barrier: see integrate().
-        jax.block_until_ready(vol.state.tsdf)
+        iterator = tqdm(
+            range(0, n, chunk), desc=desc, disable=not show_progress
+        )
+        for c0 in iterator:
+            part = seq[c0:c0 + chunk]
+            stacks, valids, Kc, Tc = [], [], [], []
+            j = 0
+            while j < len(part):
+                s = part[j][0]
+                k = j
+                while k < len(part) and part[k][0] == s:
+                    k += 1
+                idx = np.asarray([i for _, i in part[j:k]])
+                st, va = load_filtered_depth_stack(
+                    depth_data_io, s, dataset_map[s], idx,
+                    config.use_confidence_filtered_depth,
+                    config.confidence_threshold,
+                    config.valid_count_threshold,
+                )
+                stacks.append(st)
+                valids.append(va)
+                Kc.append(Ks[s][idx])
+                Tc.append(Ts[s][idx])
+                j = k
+            stack = np.concatenate(stacks)
+            valid = np.concatenate(valids)
+            Kb = np.concatenate(Kc)
+            Tb = np.concatenate(Tc)
+            if len(part) < chunk:  # pad the tail to the static chunk size
+                pad = chunk - len(part)
+                stack = np.concatenate(
+                    [stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+                Kb = np.concatenate(
+                    [Kb, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+                Tb = np.concatenate(
+                    [Tb, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+            if not valid.any():
+                continue
+            v.integrate(stack, Kb, Tb, valid)
+            # Per-chunk barrier: see integrate().
+            jax.block_until_ready(v.state.tsdf)
 
-    _warn_volume_overflow(vol)
+    _integrate_with_growth(vol, run_all, entry_empty=_volume_is_empty(vol))
     return vol

@@ -522,6 +522,115 @@ class TestIntegrateMulti:
         np.testing.assert_allclose(t1, t2, atol=1e-5)
 
 
+class TestBlockPoolGrowth:
+    """Exhausting block_count must grow the pool and replay, ending with
+    zero dropped allocations and state identical to a large-pool run
+    (recon/integrate.py _integrate_with_growth; reference semantics:
+    Open3D's VBG hashmap grows transparently)."""
+
+    def test_pool_overflow_grows_and_matches_large_pool(self, scene):
+        from types import SimpleNamespace
+
+        from mq3d_tpu.recon.integrate import integrate
+
+        proj_dir, cfg, gt = scene
+        io = DataIO(proj_dir)
+        ds = io.depth.load_depth_dataset(Side.LEFT, use_cache=False)
+        ds.transforms = ds.transforms.convert_coordinate_system(
+            CoordinateSystem.OPEN3D, is_camera=True
+        )
+
+        def icfg(block_count):
+            return SimpleNamespace(
+                voxel_size=CFG.voxel_size,
+                block_resolution=CFG.block_resolution,
+                block_count=block_count,
+                depth_max=CFG.depth_max,
+                trunc_voxel_multiplier=CFG.trunc_voxel_multiplier,
+                alloc_pixel_stride=CFG.alloc_pixel_stride,
+                grid_dim=CFG.grid_dim,
+                chunk_active_capacity=CFG.chunk_active_capacity,
+                integrate_tile=CFG.integrate_tile,
+                use_confidence_filtered_depth=False,
+                confidence_threshold=0.0,
+                valid_count_threshold=0,
+                frames_per_batch=5,
+            )
+
+        big = integrate(dataset=ds, depth_data_io=io.depth, side=Side.LEFT,
+                        config=icfg(CFG.block_count))
+        assert int(np.asarray(big.state.overflow)) == 0
+        needed = big.n_active
+        assert needed > 1
+
+        # A pool at just over half the needed size: one 2x growth suffices.
+        small_count = needed // 2 + 1
+        grown = integrate(dataset=ds, depth_data_io=io.depth, side=Side.LEFT,
+                          config=icfg(small_count))
+        assert int(np.asarray(grown.state.overflow)) == 0  # nothing dropped
+        assert int(np.asarray(grown.state.dropped_active)) == 0
+        assert grown.cfg.block_count == 2 * small_count
+
+        assert grown.n_active == needed
+        c1 = np.asarray(grown.state.block_coords[:needed])
+        c2 = np.asarray(big.state.block_coords[:needed])
+        k1 = np.lexsort(c1.T)
+        k2 = np.lexsort(c2.T)
+        np.testing.assert_array_equal(c1[k1], c2[k2])
+        np.testing.assert_array_equal(
+            np.asarray(grown.state.weight[:needed])[k1],
+            np.asarray(big.state.weight[:needed])[k2],
+        )
+        np.testing.assert_allclose(
+            np.asarray(grown.state.tsdf[:needed])[k1],
+            np.asarray(big.state.tsdf[:needed])[k2],
+            atol=1e-5,
+        )
+
+    def test_shared_preloaded_volume_keeps_warning_path(self, scene):
+        """A volume with prior content cannot be replayed: overflow there
+        must NOT trigger a from-scratch rebuild (which would lose the
+        pre-existing blocks)."""
+        from types import SimpleNamespace
+
+        from mq3d_tpu.recon.integrate import integrate
+
+        proj_dir, cfg, gt = scene
+        io = DataIO(proj_dir)
+        ds = io.depth.load_depth_dataset(Side.LEFT, use_cache=False)
+        ds.transforms = ds.transforms.convert_coordinate_system(
+            CoordinateSystem.OPEN3D, is_camera=True
+        )
+        icfg = SimpleNamespace(
+            voxel_size=CFG.voxel_size,
+            block_resolution=CFG.block_resolution,
+            block_count=4,
+            depth_max=CFG.depth_max,
+            trunc_voxel_multiplier=CFG.trunc_voxel_multiplier,
+            alloc_pixel_stride=CFG.alloc_pixel_stride,
+            grid_dim=CFG.grid_dim,
+            chunk_active_capacity=CFG.chunk_active_capacity,
+            integrate_tile=CFG.integrate_tile,
+            use_confidence_filtered_depth=False,
+            confidence_threshold=0.0,
+            valid_count_threshold=0,
+            frames_per_batch=5,
+        )
+        from mq3d_tpu.recon.integrate import tsdf_config_from_integration
+
+        pre = TSDFVolume(tsdf_config_from_integration(icfg))
+        depth, K, T = _overflow_inputs()
+        pre.integrate(depth[:1], K[:1], T[:1])
+        assert pre.n_active > 0
+        n_pre = pre.cfg.block_count
+
+        out = integrate(dataset=ds, depth_data_io=io.depth, side=Side.LEFT,
+                        config=icfg, vbg_opt=pre)
+        assert out is pre
+        assert out.cfg.block_count == n_pre  # not grown
+        assert int(np.asarray(out.state.overflow)) > 0  # warned, not hidden
+
+
 def test_autosplit_pool_overflow_counted_once():
     """When a chunk both saturates the BLOCK POOL (block_count) and
     overflows the active-window capacity, the windowed retry passes see the
