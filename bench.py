@@ -107,6 +107,8 @@ def bench_integrate(cfg_t, depth, K, T_wc, valid):
     # the tunnel, not the kernel.  Fresh state keeps every rep the same
     # allocate-then-integrate workload; the last rep's state feeds the
     # raycast bench.
+    from mq3d_tpu.utils.host import fetch_int
+
     best = 0.0
     for _ in range(3):
         state = create_state(cfg_t)
@@ -115,7 +117,11 @@ def bench_integrate(cfg_t, depth, K, T_wc, valid):
             jnp.asarray(depth[:CHUNK]), jnp.asarray(K[:CHUNK]),
             jnp.asarray(T_wc[:CHUNK]), jnp.asarray(valid[:CHUNK]),
         )
-        jax.block_until_ready(state)
+        # True sync: the tunneled runtime's block_until_ready does NOT
+        # block (measured 2026-08-19 — an 8192^3 matmul "completed" in
+        # 0.04 ms), so every timing boundary fetches a scalar that depends
+        # on the full computation chain instead.
+        fetch_int(state.n_active)
 
         t0 = time.perf_counter()
         for s in range(CHUNK, N_FRAMES, CHUNK):
@@ -124,7 +130,7 @@ def bench_integrate(cfg_t, depth, K, T_wc, valid):
                 jnp.asarray(depth[s:s + CHUNK]), jnp.asarray(K[s:s + CHUNK]),
                 jnp.asarray(T_wc[s:s + CHUNK]), jnp.asarray(valid[s:s + CHUNK]),
             )
-        jax.block_until_ready(state)
+        fetch_int(state.n_active)
         elapsed = time.perf_counter() - t0
         best = max(best, (N_FRAMES - CHUNK) / elapsed)
     return best, state
@@ -177,15 +183,24 @@ def bench_raycast(cfg_t, state, gt, scene_cfg):
     ds = make_ds(2 * RAYCAST_BATCH)
     Kb = np.asarray(ds.get_render_intrinsic_matrices(), np.float32)
     Tb = np.asarray(ds.transforms.extrinsics_wc, np.float64)
+
+    def sync(z):
+        # block_until_ready is a no-op through the tunneled runtime
+        # (2026-08-19); fetch a scalar that depends on the render instead.
+        return float(jax.device_get(z[-1, -1, -1]))
+
     z, _ = _render_frames_device(vol, Kb, Tb, W_C, H_C)
-    jax.block_until_ready(z)
+    sync(z)
+    # 3 back-to-back launches per timed rep: the device serializes them, so
+    # one closing fetch (~30 ms tunnel RTT) amortizes over 48 frames.
     ts = []
     for _ in range(2):
         t0 = time.perf_counter()
-        z, _ = _render_frames_device(vol, Kb, Tb, W_C, H_C)
-        jax.block_until_ready(z)
+        for _rep in range(3):
+            z, _ = _render_frames_device(vol, Kb, Tb, W_C, H_C)
+        sync(z)
         ts.append(time.perf_counter() - t0)
-    device_ms = float(min(ts) / Kb.shape[0] * 1e3)
+    device_ms = float(min(ts) / (3 * Kb.shape[0]) * 1e3)
 
     # Streaming wall-clock through the production generator (device compute
     # overlapped with per-frame host readback): the in-tunnel pipeline rate.
@@ -195,6 +210,40 @@ def bench_raycast(cfg_t, state, gt, scene_cfg):
         d.ravel()[0]  # touch on host, like the npy save would
     stream_ms = float((time.perf_counter() - t0) / n_stream * 1e3)
     return device_ms, stream_ms
+
+
+def bench_sharded_prod(cfg_t, depth, K, T_wc, valid, n_steps=10):
+    """Partitioned-state sharded integrate at PRODUCTION shape on a mesh of
+    1 (the real chip): proves the multichip program compiles, fits, and runs
+    at the reference scale — the virtual-CPU dryrun covers n>1 topology,
+    this covers real-hardware footprint.  Returns frames/s."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mq3d_tpu.parallel.sharded import (
+        create_state_partitioned,
+        sharded_integrate_step,
+    )
+    from mq3d_tpu.utils.host import fetch_int
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), axis_names=("data",))
+    step = sharded_integrate_step(cfg_t, mesh, partition_state=True)
+    state = create_state_partitioned(cfg_t, mesh)
+
+    def args(s):
+        return (
+            jnp.asarray(depth[s:s + CHUNK]), jnp.asarray(K[s:s + CHUNK]),
+            jnp.asarray(T_wc[s:s + CHUNK]), jnp.asarray(valid[s:s + CHUNK]),
+        )
+
+    state = step(state, *args(0))
+    fetch_int(state.n_active)  # true sync (see bench_integrate)
+    t0 = time.perf_counter()
+    for i in range(1, 1 + n_steps):
+        state = step(state, *args(i * CHUNK))
+    fetch_int(state.n_active)
+    return n_steps * CHUNK / (time.perf_counter() - t0)
 
 
 def bench_e2e(tmp="/tmp/bench_e2e"):
@@ -288,6 +337,10 @@ def main():
     raycast_ms, stream_ms = bench_raycast(cfg_t, state, gt, scene_cfg)
     print(f"[bench] raycast {raycast_ms:.0f} ms/frame device, "
           f"{stream_ms:.0f} ms/frame streamed", file=sys.stderr, flush=True)
+    del state  # free the 1.6 GB single-chip volume before the sharded state
+    sharded_fps = bench_sharded_prod(cfg_t, depth, K, T_wc, valid)
+    print(f"[bench] sharded prod integrate {sharded_fps:.0f} f/s",
+          file=sys.stderr, flush=True)
     e2e_s = bench_e2e()
     print(f"[bench] e2e {e2e_s:.0f} s", file=sys.stderr, flush=True)
 
@@ -305,6 +358,7 @@ def main():
             "raycast_vs_legacy_budget": round(
                 LEGACY_RAYCAST_BUDGET_MS / raycast_ms, 2),
             "raycast_stream_ms_per_frame": round(stream_ms, 1),
+            "sharded_prod_frames_per_sec": round(sharded_fps, 1),
             "e2e_pipeline_seconds": round(e2e_s, 1),
         },
     }))
