@@ -442,7 +442,7 @@ def _ray_dirs(K, Rcw, s, h_l, w_l):
         "cfg", "n_bucket", "width", "height", "edge_cap", "fine_march_iters",
         "edge_mult_full", "edge_mult_mid", "refine_samples_fine",
         "refine_iters_fine", "base_march_iters", "level_stats",
-        "pyramid_scales",
+        "pyramid_scales", "refine_samples_base", "refine_iters_base",
     ),
 )
 def _render_frames(
@@ -460,14 +460,16 @@ def _render_frames(
     height: int,
     edge_cap: int,
     edge_eps,
-    fine_march_iters: int = 14,
-    edge_mult_full: int = 10,
+    fine_march_iters: int = 8,
+    edge_mult_full: int = 6,
     edge_mult_mid: int = 34,
-    refine_samples_fine: int = 3,
+    refine_samples_fine: int = 2,
     refine_iters_fine: int = 1,
-    base_march_iters: int = 64,
+    base_march_iters: int = 24,
     level_stats: bool = False,
     pyramid_scales: tuple | None = None,
+    refine_samples_base: int = 3,
+    refine_iters_base: int = 1,
 ):
     """Full coherent pyramid for a batch of frames in ONE launch.
 
@@ -546,7 +548,7 @@ def _render_frames(
         )
         t_hit = _refine(
             cfg, slot_dist, ext, n_bucket, origins, dirs, found, ta, tb,
-            va, vb,
+            va, vb, n_samples=refine_samples_base, n_iters=refine_iters_base,
         )
         return t_hit.reshape(F, h_l, w_l)
 
@@ -722,16 +724,18 @@ def _render_frames(
         # With per-ray [t0, t_hi] windows most lanes retire in a few
         # iterations; the budget only caps stragglers (which keep their
         # interpolated depth).  The while_loop's cost is set by the LAST
-        # lane to retire, so the cap is a direct wall-clock lever:
-        # 14 iters measures equal accuracy to 24 on the analytic room.
+        # lane to retire, so the cap is a direct wall-clock lever: the
+        # round-4 sweep (tools/rc_lab.py, honest-sync timing) measured 8
+        # iters at identical median/p95/coverage to 14 on the production-
+        # scale analytic room.
         found, ta, tb, va, vb = _march(
             cfg, slot_dist, ext, n_bucket, origins_e, dirs_e, t0_e,
             t_min, t_hi_e, fine_march_iters,
         )
         # Fine levels re-bracket over a window the march already localized
-        # to ~a voxel: 3 dense samples + 1 false-position iteration hold
-        # the same residual as the base level's 4+2 (A/B'd on the analytic
-        # room), at 2/3 the gathers of the hot full-res refine.
+        # to ~a voxel: 2 dense endpoint samples + 1 false-position
+        # iteration + closing secant hold the same residual as wider
+        # sample counts (A/B'd on the analytic room at production scale).
         t_hit_e = _refine(
             cfg, slot_dist, ext, n_bucket, origins_e, dirs_e, found, ta, tb,
             va, vb, n_samples=refine_samples_fine, n_iters=refine_iters_fine,
@@ -795,7 +799,7 @@ def _render_frames_device(
     t_min: float = 0.05,
     t_max: float | None = None,
     edge_eps: float = 1e-3,
-    fine_march_iters: int = 14,
+    fine_march_iters: int = 8,
     **knobs,
 ):
     """Dispatch one fused render launch; returns DEVICE arrays

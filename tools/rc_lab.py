@@ -68,6 +68,14 @@ VARIANTS = {
     "combo2": {"base_march_iters": 32, "fine_march_iters": 10,
                "refine_samples_fine": 2, "refine_iters_fine": 1,
                "edge_mult_full": 6},
+    "combo3": {"base_march_iters": 32, "fine_march_iters": 10,
+               "refine_samples_fine": 2, "refine_iters_fine": 1,
+               "edge_mult_full": 6,
+               "refine_samples_base": 3, "refine_iters_base": 1},
+    "combo4": {"base_march_iters": 24, "fine_march_iters": 8,
+               "refine_samples_fine": 2, "refine_iters_fine": 1,
+               "edge_mult_full": 6,
+               "refine_samples_base": 3, "refine_iters_base": 1},
 }
 
 
