@@ -187,10 +187,62 @@ class DepthDataIO:
             except FileNotFoundError:
                 pass
 
+    def start_confidence_pack(self, side: Side, timestamps, conf_shape,
+                              conf_dtype, cnt_shape, cnt_dtype):
+        """Streamed pack writer for the estimation path: rows are written
+        from the in-memory result stacks as they are computed (zero disk
+        re-reads — a from-disk rebuild costs ~28 s at 1000 frames, more
+        than the pack ever saves).  Usage:
+
+            w = io.start_confidence_pack(side, ts, ...)
+            w.write(i, conf, cnt)   # any order, each row once
+            w.finalize()            # atomically publishes the pack
+        """
+        ts = np.asarray(timestamps, np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts_path, conf_path, cnt_path = self._confidence_pack_paths(side)
+        ts_path.parent.mkdir(parents=True, exist_ok=True)
+        tmp_conf = conf_path.with_suffix(".tmp.npy")
+        tmp_cnt = cnt_path.with_suffix(".tmp.npy")
+        n = len(ts)
+        conf_mm = np.lib.format.open_memmap(
+            tmp_conf, mode="w+", dtype=conf_dtype, shape=(n,) + tuple(conf_shape)
+        )
+        cnt_mm = np.lib.format.open_memmap(
+            tmp_cnt, mode="w+", dtype=cnt_dtype, shape=(n,) + tuple(cnt_shape)
+        )
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n)
+        io = self
+
+        class _Writer:
+            def write(self, i: int, conf, cnt) -> None:
+                conf_mm[rank[i]] = conf
+                cnt_mm[rank[i]] = cnt
+
+            def finalize(self) -> None:
+                import os
+
+                conf_mm.flush()
+                cnt_mm.flush()
+                os.replace(tmp_conf, conf_path)
+                os.replace(tmp_cnt, cnt_path)
+                np.save(ts_path, ts[order])
+                io._confidence_pack.pop(side, None)
+
+            def abort(self) -> None:
+                tmp_conf.unlink(missing_ok=True)
+                tmp_cnt.unlink(missing_ok=True)
+
+        return _Writer()
+
     def build_confidence_pack(self, side: Side) -> bool:
         """Pack every per-frame confidence npz of `side` into mmap-able .npy
         stacks. Returns False when no per-frame maps exist. O(1) host memory
-        (streams frame-by-frame into memory-mapped outputs)."""
+        (streams frame-by-frame into memory-mapped outputs).
+
+        Prefer start_confidence_pack on the estimation path — this from-disk
+        rebuild re-decodes every npz and is only for repair/staleness."""
         self._confidence_pack.pop(side, None)
         dir_path = self.depth_path_config.get_depth_confidence_map_dir_path(side)
         if not dir_path.exists():
@@ -289,64 +341,41 @@ class DepthDataIO:
         timestamps = np.asarray(timestamps, np.int64)
         n = len(timestamps)
         pack = self._open_confidence_pack(side)
-        for _attempt in range(2):
-            if pack is None:
-                missing_on_disk = any(
-                    self.depth_path_config.get_depth_confidence_map_path(
-                        side, int(t)
-                    ).exists()
-                    for t in timestamps
-                )
-                if not missing_on_disk or not self.build_confidence_pack(side):
-                    break
-                pack = self._open_confidence_pack(side)
-                continue
+        conf = cnt = None
+        have = np.zeros(n, bool)
+        if pack is not None:
             ts, conf_mm, cnt_mm = pack
-            pos = np.searchsorted(ts, timestamps)
-            pos_c = np.minimum(pos, len(ts) - 1)
-            have = ts[pos_c] == timestamps
-            stale = [
-                int(t)
-                for t, h in zip(timestamps, have)
-                if not h
-                and self.depth_path_config.get_depth_confidence_map_path(
-                    side, int(t)
-                ).exists()
-            ]
-            if stale and _attempt == 0:
-                if self.build_confidence_pack(side):
-                    pack = self._open_confidence_pack(side)
-                    continue
-            break
-        if pack is None:
-            # No pack possible: fall back to per-frame loads.
-            conf = cnt = None
-            have = np.zeros(n, bool)
-            for i, t in enumerate(timestamps):
-                cm = self.load_confidence_map(side, int(t))
-                if cm is None:
-                    continue
-                if conf is None:
-                    conf = np.zeros((n,) + cm.confidence_map.shape, cm.confidence_map.dtype)
-                    cnt = np.zeros((n,) + cm.valid_count.shape, cm.valid_count.dtype)
-                conf[i] = cm.confidence_map
-                cnt[i] = cm.valid_count
-                have[i] = True
+            pos = np.minimum(np.searchsorted(ts, timestamps), len(ts) - 1)
+            have = ts[pos] == timestamps
+            conf = np.zeros((n,) + conf_mm.shape[1:], conf_mm.dtype)
+            cnt = np.zeros((n,) + cnt_mm.shape[1:], cnt_mm.dtype)
+            if have.any():
+                conf[have] = conf_mm[pos[have]]
+                cnt[have] = cnt_mm[pos[have]]
+        # Rows absent from the pack (no pack, written after the pack, or a
+        # stray resolution mismatch skipped at build) fill from the
+        # per-frame npzs — never a from-disk pack rebuild here, which costs
+        # more than per-frame loads ever do.
+        for i in np.nonzero(~have)[0]:
+            cm = self.load_confidence_map(side, int(timestamps[i]))
+            if cm is None:
+                continue
             if conf is None:
-                return (
-                    np.zeros((n, 0, 0), np.float32),
-                    np.zeros((n, 0, 0), np.float32),
-                    have,
-                )
-            return conf, cnt, have
-        ts, conf_mm, cnt_mm = pack
-        pos = np.minimum(np.searchsorted(ts, timestamps), len(ts) - 1)
-        have = ts[pos] == timestamps
-        conf = np.zeros((n,) + conf_mm.shape[1:], conf_mm.dtype)
-        cnt = np.zeros((n,) + cnt_mm.shape[1:], cnt_mm.dtype)
-        if have.any():
-            conf[have] = conf_mm[pos[have]]
-            cnt[have] = cnt_mm[pos[have]]
+                conf = np.zeros(
+                    (n,) + cm.confidence_map.shape, cm.confidence_map.dtype)
+                cnt = np.zeros(
+                    (n,) + cm.valid_count.shape, cm.valid_count.dtype)
+            if cm.confidence_map.shape != conf.shape[1:]:
+                continue  # caller warns on the surviving have=False row
+            conf[i] = cm.confidence_map
+            cnt[i] = cm.valid_count
+            have[i] = True
+        if conf is None:
+            return (
+                np.zeros((n, 0, 0), np.float32),
+                np.zeros((n, 0, 0), np.float32),
+                have,
+            )
         return conf, cnt, have
 
     # -- datasets ------------------------------------------------------------------------

@@ -195,8 +195,10 @@ def estimate_depth_confidences(
             if depth_data_io.load_confidence_map(side, int(dataset.timestamps[i])) is None
         ]
         if not todo:
+            # Per-frame maps already exist; integrate's batched reader
+            # falls back to them (a from-disk pack rebuild costs more than
+            # it saves — depth_io.load_confidence_stack).
             print(f"[{side.name}] All confidence maps cached.")
-            depth_data_io.build_confidence_pack(side)
             continue
 
         depth_stack, frame_valid = depth_data_io.load_depth_stack(side, dataset)
@@ -207,6 +209,23 @@ def estimate_depth_confidences(
         T_cw_dev = jnp.asarray(T_cw)
         T_wc_dev = jnp.asarray(T_wc)
         valid_dev = jnp.asarray(frame_valid)
+
+        # Stream the packed mmap-able stack for the integrate hot path
+        # (recon/integrate.py slices chunks out of it instead of opening one
+        # npz per frame per chunk) directly from the in-memory results —
+        # only when EVERY frame is computed fresh, so the pack is complete.
+        writer = None
+        pack_row = None
+        if len(todo) == n and frame_valid.any():
+            # Pack rows only for frames that will actually produce a map:
+            # an invalid frame must stay have=False at read time (integrate
+            # then warns like the per-frame path), not a zero row.
+            h, w = depth_stack.shape[1:]
+            ts_valid = np.asarray(dataset.timestamps, np.int64)[frame_valid]
+            pack_row = np.cumsum(frame_valid) - 1  # frame idx -> pack row
+            writer = depth_data_io.start_confidence_pack(
+                side, ts_valid, (h, w), np.float32, (h, w), np.int32,
+            )
 
         B = max(1, int(config.frames_per_batch))
         for s in tqdm(
@@ -236,7 +255,10 @@ def estimate_depth_confidences(
                     int(dataset.timestamps[i]),
                     ConfidenceMap(confidence_map=conf[bi], valid_count=cnt[bi]),
                 )
-        # One packed mmap-able stack for the integrate hot path
-        # (recon/integrate.py slices chunks out of it instead of opening
-        # one npz per frame per chunk).
-        depth_data_io.build_confidence_pack(side)
+                if writer is not None:
+                    writer.write(
+                        int(pack_row[i]), conf[bi], cnt[bi].astype(np.int32))
+        if writer is not None:
+            # Publish AFTER the per-frame saves (each save invalidates the
+            # pack paths; finalize's os.replace runs last).
+            writer.finalize()

@@ -108,6 +108,7 @@ class TestDepthIO:
             io.depth.save_confidence_map(Side.LEFT, t, cm)
             maps[t] = cm
 
+        # Without a pack, the batched read serves per-frame npzs.
         req = np.array([250, 999, 100], np.int64)  # unordered + one missing
         conf, cnt, have = io.depth.load_confidence_stack(Side.LEFT, req)
         np.testing.assert_array_equal(have, [True, False, True])
@@ -115,26 +116,36 @@ class TestDepthIO:
         np.testing.assert_array_equal(cnt[0], maps[250].valid_count)
         np.testing.assert_array_equal(conf[2], maps[100].confidence_map)
         assert (conf[1] == 0).all()
-
-        # Pack files exist on disk after the build.
-        assert io.depth.depth_path_config.get_confidence_pack_path(
+        pack_path = io.depth.depth_path_config.get_confidence_pack_path(
             Side.LEFT, "confidence"
-        ).exists()
+        )
+        assert not pack_path.exists()  # reads never build packs
 
-        # Overwriting a frame invalidates + rebuilds transparently.
+        # Explicit from-disk build; the mmap path serves identical rows.
+        assert io.depth.build_confidence_pack(Side.LEFT)
+        assert pack_path.exists()
+        conf, cnt, have = io.depth.load_confidence_stack(Side.LEFT, req)
+        np.testing.assert_array_equal(have, [True, False, True])
+        np.testing.assert_array_equal(conf[0], maps[250].confidence_map)
+        np.testing.assert_array_equal(cnt[2], maps[100].valid_count)
+
+        # Overwriting a frame invalidates the pack; the read falls back to
+        # the fresh per-frame npz.
         cm2 = ConfidenceMap(
             confidence_map=np.full((6, 7), 0.5, np.float32),
             valid_count=np.full((6, 7), 9, np.int32),
         )
         io.depth.save_confidence_map(Side.LEFT, 250, cm2)
+        assert not pack_path.exists()
         conf, cnt, have = io.depth.load_confidence_stack(
             Side.LEFT, np.array([250], np.int64)
         )
         assert have.all()
         np.testing.assert_array_equal(conf[0], cm2.confidence_map)
 
-        # A fresh timestamp written by another process (no in-memory
-        # invalidation) is picked up by the staleness rebuild.
+        # A fresh timestamp written by another process (this handle still
+        # holds the old pack mmap) fills from its per-frame npz.
+        io.depth.build_confidence_pack(Side.LEFT)
         io2 = DataIO(proj_dir)
         _ = io2.depth.load_confidence_stack(Side.LEFT, np.array([100], np.int64))
         io.depth.save_confidence_map(Side.LEFT, 777, cm2)
@@ -143,6 +154,20 @@ class TestDepthIO:
         )
         assert have.all()
         np.testing.assert_array_equal(conf[0], cm2.confidence_map)
+
+        # Streamed writer (the estimation path): rows written from memory,
+        # atomically published, served by the mmap path.
+        ts_new = np.array([50, 60], np.int64)
+        w = io.depth.start_confidence_pack(
+            Side.LEFT, ts_new, (6, 7), np.float32, (6, 7), np.int32)
+        rows = [rng.random((6, 7)).astype(np.float32) for _ in ts_new]
+        w.write(1, rows[1], np.ones((6, 7), np.int32))
+        w.write(0, rows[0], np.ones((6, 7), np.int32))
+        w.finalize()
+        conf, cnt, have = io.depth.load_confidence_stack(Side.LEFT, ts_new)
+        assert have.all()
+        np.testing.assert_array_equal(conf[0], rows[0])
+        np.testing.assert_array_equal(conf[1], rows[1])
 
     def test_filtered_depth_stack_matches_per_frame_reference(self, project, rng):
         """Vectorized confidence filtering == the reference's per-frame
