@@ -272,6 +272,15 @@ def mesh_to_fbx_nodes(mesh: TriangleMesh) -> list[FbxNode]:
             FbxNode("FBXVersion", [7400]),
         ]),
         FbxNode("GlobalSettings", [], [FbxNode("Version", [1000])]),
+        # Documents/References: the scene-root lookup path stock importers
+        # (assimp FBXDocument, Blender) walk before touching Objects.
+        FbxNode("Documents", [], [
+            FbxNode("Count", [1]),
+            FbxNode("Document", [3000, "", "Scene"], [
+                FbxNode("RootNode", [0]),
+            ]),
+        ]),
+        FbxNode("References", []),
         FbxNode("Definitions", [], [
             FbxNode("Version", [100]),
             FbxNode("Count", [2]),
