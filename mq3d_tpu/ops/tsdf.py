@@ -153,8 +153,7 @@ def _slice_active_jit(state: "TSDFState", n_b: int):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def integrate_chunk(
+def _integrate_chunk_impl(
     cfg: TSDFConfig,
     state: TSDFState,
     depth: jnp.ndarray,  # (C, H, W) float32 metric depth, 0 = invalid
@@ -371,8 +370,14 @@ def integrate_chunk(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_bucket", "max_points"))
-def _extract_points_jit(
+# Public single-launch form; the impl is shared with the fused
+# fresh-integrate-extract program below.
+integrate_chunk = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+)(_integrate_chunk_impl)
+
+
+def _extract_points_impl(
     cfg: TSDFConfig, state: TSDFState, weight_threshold, n_bucket: int,
     max_points: int,
 ):
@@ -497,6 +502,136 @@ def _extract_points_jit(
         0, n_tiles, tile_body, (out_p, out_n, jnp.asarray(0, jnp.int32))
     )
     return out_p[: max_points * 3], out_n[: max_points * 3], total
+
+
+_extract_points_jit = partial(
+    jax.jit, static_argnames=("cfg", "n_bucket", "max_points")
+)(_extract_points_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_bucket", "max_points"))
+def _fresh_integrate_extract_jit(
+    cfg: TSDFConfig,
+    depth: jnp.ndarray,  # (C, H, W) float32
+    intrinsics: jnp.ndarray,  # (C, 3, 3) float32
+    extrinsics_wc: jnp.ndarray,  # (C, 4, 4) float32
+    frame_valid: jnp.ndarray,  # (C,) bool
+    weight_threshold,
+    n_bucket: int,
+    max_points: int,
+):
+    """ONE launch for a capture that fits a single chunk: fresh-state init +
+    chunk integration + zero-crossing point extraction.
+
+    Small captures on the tunneled runtime are launch-bound (every launch of
+    a large-footprint program costs seconds — TODO.md "Known environment
+    issue"); this folds the 3 big launches of the standard path (create
+    state, integrate, extract) into one executable.  All outputs stay
+    device-resident — the caller fetches scalars first and then slices only
+    the occupied prefixes (`_slice_points_jit`, `_slice_active_jit`), so
+    D2H transfer stays proportional to the scene exactly like the standard
+    path.  Accumulation is bit-identical to create_state + integrate_chunk +
+    _extract_points_jit (same impl functions, same order)."""
+    state = create_state(cfg)
+    state = _integrate_chunk_impl(
+        cfg, state, depth, intrinsics, extrinsics_wc, frame_valid,
+        jnp.int32(0),
+    )
+    out_p, out_n, total = _extract_points_impl(
+        cfg, state, weight_threshold, n_bucket, max_points
+    )
+    return state, out_p, out_n, total
+
+
+@partial(jax.jit, static_argnames=("n_b",))
+def _slice_points_jit(out_p, out_n, n_b: int):
+    """Sized readback of the occupied extraction prefix in one launch."""
+    return out_p[: n_b * 3], out_n[: n_b * 3]
+
+
+def fresh_integrate_extract(
+    cfg: TSDFConfig,
+    depth,
+    intrinsics,
+    extrinsics_wc,
+    frame_valid,
+    weight_threshold: float = 3.0,
+    max_points: int = 2_097_152,
+):
+    """Host wrapper for `_fresh_integrate_extract_jit`: run the one-launch
+    init+integrate+extract program and return
+    `(TSDFVolume, PointCloud or None, overflow)`.
+
+    A `None` point cloud means the conservative extraction buffer truncated
+    (count > cap) or a chunk-capacity auto-split continuation ran (the fused
+    extraction predates the continuation passes) — the volume is valid
+    either way and the caller should re-extract via
+    `TSDFVolume.extract_point_cloud`.  `overflow` > 0 = block-pool
+    exhaustion; the caller owns grow-and-retry (the state here is fresh by
+    construction, so a replay at doubled block_count is always safe).
+    """
+    n_bucket = cfg.block_count
+    R = cfg.block_resolution
+    cap = 4096
+    while cap < 8 * R * R * n_bucket and cap < max_points:
+        cap *= 2
+    cap = min(cap, max_points)
+
+    args = (
+        jnp.asarray(depth, jnp.float32),
+        jnp.asarray(intrinsics, jnp.float32),
+        jnp.asarray(extrinsics_wc, jnp.float32),
+        jnp.asarray(frame_valid),
+    )
+    state, out_p, out_n, total = _fresh_integrate_extract_jit(
+        cfg, *args, jnp.float32(weight_threshold), n_bucket, cap
+    )
+    n_act, dropped, overflow, count = (
+        int(v)
+        for v in jax.device_get(
+            (state.n_active, state.dropped_active, state.overflow, total)
+        )
+    )
+    vol = TSDFVolume(cfg, state)
+
+    if dropped:
+        # Windowed continuation over the remaining capacity windows —
+        # bit-identical composition with the fused first pass (same
+        # contract as TSDFVolume.integrate's auto-split loop).
+        o_first = overflow
+        skip, d_prev = 0, dropped
+        while True:
+            skip += cfg.chunk_active_capacity
+            state = integrate_chunk(cfg, state, *args, jnp.int32(skip))
+            d_now = fetch_int(state.dropped_active)
+            if d_now == d_prev:
+                break
+            d_prev = d_now
+        state = state._replace(
+            dropped_active=jnp.asarray(0, jnp.int32),
+            overflow=jnp.asarray(o_first, jnp.int32),
+        )
+        vol.state = state
+        vol._dropped_host = 0
+        return vol, None, o_first
+
+    vol._dropped_host = 0
+    if count > cap:
+        return vol, None, overflow  # truncated: re-extract with the ladder
+
+    if n_act == 0 or count == 0:
+        return vol, PointCloud(points=np.zeros((0, 3))), overflow
+
+    n_b = 64
+    while n_b < count:
+        n_b *= 2
+    n_b = min(n_b, cap)
+    pts, nrm = jax.device_get(_slice_points_jit(out_p, out_n, n_b))
+    points = np.asarray(pts, np.float64).reshape(-1, 3)[:count]
+    normals = np.asarray(nrm, np.float64).reshape(-1, 3)[:count]
+    norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = normals / np.maximum(norm, 1e-12)
+    return vol, PointCloud(points=points, normals=normals), overflow
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_bucket", "max_verts", "max_tris"))

@@ -211,6 +211,99 @@ def _warn_volume_overflow(vol: TSDFVolume) -> None:
         )
 
 
+def integrate_extract_small(
+    dataset_map,
+    depth_data_io: DepthDataIO,
+    config: IntegrationConfig,
+    weight_threshold: float = 3.0,
+):
+    """ONE-launch fast path for captures that fit a single chunk: fused
+    fresh-state init + integration (both sides) + point extraction.
+
+    Small captures on the tunneled TPU runtime are launch-bound (~2-3 s per
+    large-footprint launch — TODO.md "Known environment issue"); the
+    standard path pays 3 such launches (create_state, integrate_chunk,
+    extract) where this pays 1.  Frame count pads to a power-of-two bucket
+    (>= 8) instead of the full frames_per_batch chunk, so the depth-stack
+    upload is also ~halved for a 16-frame capture.
+
+    Returns (volume, point_cloud) — accumulation-identical to
+    `integrate_multi` + `extract_point_cloud` (same impl functions compose
+    inside the fused program) — or None when the preconditions don't hold
+    (multi-chunk capture, mixed side resolutions, no valid frames) and the
+    caller should use the standard path.
+    """
+    from dataclasses import replace
+
+    from mq3d_tpu.ops.tsdf import fresh_integrate_extract
+
+    sides = [s for s, ds in dataset_map.items() if len(ds) > 0]
+    if not sides:
+        return None
+    shapes = {
+        (int(dataset_map[s].heights[0]), int(dataset_map[s].widths[0]))
+        for s in sides
+    }
+    if len(shapes) > 1:
+        return None
+    n = sum(len(dataset_map[s]) for s in sides)
+    chunk = max(1, int(getattr(config, "frames_per_batch", 16)))
+    if n == 0 or n > chunk:
+        return None
+
+    stacks, valids, Kc, Tc = [], [], [], []
+    for s in sides:
+        ds = dataset_map[s]
+        st, va = load_filtered_depth_stack(
+            depth_data_io, s, ds, np.arange(len(ds)),
+            config.use_confidence_filtered_depth,
+            config.confidence_threshold,
+            config.valid_count_threshold,
+        )
+        stacks.append(st)
+        valids.append(va)
+        Kc.append(ds.get_render_intrinsic_matrices().astype(np.float32))
+        Tc.append(ds.transforms.extrinsics_wc.astype(np.float32))
+    stack = np.concatenate(stacks)
+    valid = np.concatenate(valids)
+    Kb = np.concatenate(Kc)
+    Tb = np.concatenate(Tc)
+    if not valid.any():
+        return None
+
+    C = 8
+    while C < n:
+        C *= 2
+    if C > n:  # pad to the pow2 frame bucket
+        pad = C - n
+        stack = np.concatenate(
+            [stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+        Kb = np.concatenate(
+            [Kb, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+        Tb = np.concatenate(
+            [Tb, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+
+    cfg_t = tsdf_config_from_integration(config)
+    for _ in range(_MAX_POOL_GROWTHS + 1):
+        vol, pcd, overflow = fresh_integrate_extract(
+            cfg_t, stack, Kb, Tb, valid, weight_threshold
+        )
+        if overflow == 0:
+            break
+        new_count = cfg_t.block_count * 2
+        print(
+            f"[Info] TSDF block pool exhausted ({overflow} allocations "
+            f"dropped at block_count={cfg_t.block_count}); growing to "
+            f"{new_count} and re-integrating"
+        )
+        cfg_t = replace(cfg_t, block_count=new_count)
+    _warn_volume_overflow(vol)
+    if pcd is None:
+        pcd = vol.extract_point_cloud(weight_threshold)
+    return vol, pcd
+
+
 def integrate_multi(
     dataset_map,
     depth_data_io: DepthDataIO,

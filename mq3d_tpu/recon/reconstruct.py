@@ -35,7 +35,11 @@ from mq3d_tpu.ops.tsdf import TSDFVolume
 from mq3d_tpu.recon.color_opt import optimize_color_pose
 from mq3d_tpu.recon.confidence import estimate_depth_confidences
 from mq3d_tpu.recon.depth_pose_optimizer import DepthPoseOptimizer
-from mq3d_tpu.recon.integrate import integrate, integrate_multi
+from mq3d_tpu.recon.integrate import (
+    integrate,
+    integrate_extract_small,
+    integrate_multi,
+)
 from mq3d_tpu.utils.log import log_step, substep
 
 # Viewer-time accounting (reference protocol: reconstruct_scene prints
@@ -97,20 +101,31 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
     if config.use_colorless_vbg_cache:
         vbg = data_io.reconstruction.load_colorless_vbg()
 
+    fused_pcd = None
     if vbg is None:
         log_step("Integrate depth maps")
         ic = config.depth_integration
         # One fused chunk stream over both sides (same accumulation as the
         # reference's sequential per-side loop; fewer device launches).
+        # Captures that fit a single chunk take the one-launch fused
+        # init+integrate+extract program instead.
         with substep("integrate"):
-            vbg = integrate_multi(
+            fused = integrate_extract_small(
                 dataset_map=depth_dataset_map,
                 depth_data_io=data_io.depth,
                 config=ic,
-                vbg_opt=vbg,
-                show_progress=True,
-                desc="Integrating depth maps (both sides)",
             )
+            if fused is not None:
+                vbg, fused_pcd = fused
+            else:
+                vbg = integrate_multi(
+                    dataset_map=depth_dataset_map,
+                    depth_data_io=data_io.depth,
+                    config=ic,
+                    vbg_opt=vbg,
+                    show_progress=True,
+                    desc="Integrating depth maps (both sides)",
+                )
 
     if vbg is None or vbg.n_active == 0:
         print("[Error] Failed to generate TSDF volume; check inputs/config.")
@@ -120,7 +135,9 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
         data_io.reconstruction.save_colorless_vbg(vbg)
 
     with substep("extract_point_cloud"):
-        colorless_pcd = vbg.extract_point_cloud()
+        colorless_pcd = (
+            fused_pcd if fused_pcd is not None else vbg.extract_point_cloud()
+        )
     with substep("save_colorless_pcd"):
         data_io.reconstruction.save_colorless_pcd(colorless_pcd)
     if config.visualize_colorless_pcd:

@@ -522,6 +522,147 @@ class TestIntegrateMulti:
         np.testing.assert_allclose(t1, t2, atol=1e-5)
 
 
+class TestIntegrateExtractSmall:
+    """One-launch fused init+integrate+extract vs the standard multi-launch
+    path: bit-identical state, identical point cloud."""
+
+    def _icfg(self, **kw):
+        from types import SimpleNamespace
+
+        base = dict(
+            voxel_size=CFG.voxel_size,
+            block_resolution=CFG.block_resolution,
+            block_count=CFG.block_count,
+            depth_max=CFG.depth_max,
+            trunc_voxel_multiplier=CFG.trunc_voxel_multiplier,
+            alloc_pixel_stride=CFG.alloc_pixel_stride,
+            grid_dim=CFG.grid_dim,
+            chunk_active_capacity=CFG.chunk_active_capacity,
+            integrate_tile=CFG.integrate_tile,
+            use_confidence_filtered_depth=False,
+            confidence_threshold=0.0,
+            valid_count_threshold=0,
+            frames_per_batch=64,
+        )
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    def _datasets(self, scene):
+        proj_dir, cfg, gt = scene
+        io = DataIO(proj_dir)
+        datasets = {}
+        for side in Side:
+            ds = io.depth.load_depth_dataset(side, use_cache=False)
+            ds.transforms = ds.transforms.convert_coordinate_system(
+                CoordinateSystem.OPEN3D, is_camera=True
+            )
+            datasets[side] = ds
+        return io, datasets
+
+    @staticmethod
+    def _assert_same_volume(a, b):
+        assert a.n_active == b.n_active
+        c1 = np.asarray(a.state.block_coords[: a.n_active])
+        c2 = np.asarray(b.state.block_coords[: b.n_active])
+        k1 = np.lexsort(c1.T)
+        k2 = np.lexsort(c2.T)
+        np.testing.assert_array_equal(c1[k1], c2[k2])
+        np.testing.assert_array_equal(
+            np.asarray(a.state.weight[: a.n_active])[k1],
+            np.asarray(b.state.weight[: b.n_active])[k2],
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.state.tsdf[: a.n_active])[k1],
+            np.asarray(b.state.tsdf[: b.n_active])[k2],
+            atol=1e-5,
+        )
+
+    @staticmethod
+    def _assert_same_pcd(p1, p2):
+        a = np.asarray(p1.points)
+        b = np.asarray(p2.points)
+        assert a.shape == b.shape
+        k1 = np.lexsort(np.round(a.T / 1e-9))
+        k2 = np.lexsort(np.round(b.T / 1e-9))
+        np.testing.assert_allclose(a[k1], b[k2], atol=1e-6)
+
+    def test_fused_matches_standard_path(self, scene):
+        from mq3d_tpu.recon.integrate import (
+            integrate_extract_small,
+            integrate_multi,
+        )
+
+        io, datasets = self._datasets(scene)
+        icfg = self._icfg()
+        res = integrate_extract_small(
+            dataset_map=datasets, depth_data_io=io.depth, config=icfg
+        )
+        assert res is not None
+        vol_f, pcd_f = res
+        vol_s = integrate_multi(
+            dataset_map=datasets, depth_data_io=io.depth, config=icfg
+        )
+        self._assert_same_volume(vol_f, vol_s)
+        self._assert_same_pcd(pcd_f, vol_s.extract_point_cloud())
+
+    def test_multi_chunk_capture_declines(self, scene):
+        from mq3d_tpu.recon.integrate import integrate_extract_small
+
+        io, datasets = self._datasets(scene)
+        icfg = self._icfg(frames_per_batch=5)  # 24 frames > 5 -> standard
+        assert (
+            integrate_extract_small(
+                dataset_map=datasets, depth_data_io=io.depth, config=icfg
+            )
+            is None
+        )
+
+    def test_chunk_capacity_overflow_continues_windowed(self, scene):
+        from mq3d_tpu.recon.integrate import (
+            integrate_extract_small,
+            integrate_multi,
+        )
+
+        io, datasets = self._datasets(scene)
+        # Tiny window forces the auto-split continuation inside the fused
+        # path; result must still match the standard path bit-for-bit.
+        icfg = self._icfg(chunk_active_capacity=64, integrate_tile=64)
+        res = integrate_extract_small(
+            dataset_map=datasets, depth_data_io=io.depth, config=icfg
+        )
+        assert res is not None
+        vol_f, pcd_f = res
+        vol_s = integrate_multi(
+            dataset_map=datasets, depth_data_io=io.depth,
+            config=self._icfg(),
+        )
+        self._assert_same_volume(vol_f, vol_s)
+        self._assert_same_pcd(pcd_f, vol_s.extract_point_cloud())
+
+    def test_pool_overflow_grows(self, scene):
+        from mq3d_tpu.recon.integrate import (
+            integrate_extract_small,
+            integrate_multi,
+        )
+
+        io, datasets = self._datasets(scene)
+        icfg = self._icfg(block_count=64)  # forces >= 1 growth replay
+        res = integrate_extract_small(
+            dataset_map=datasets, depth_data_io=io.depth, config=icfg
+        )
+        assert res is not None
+        vol_f, pcd_f = res
+        assert vol_f.cfg.block_count > 64
+        from mq3d_tpu.utils.host import fetch_int
+
+        assert fetch_int(vol_f.state.overflow) == 0
+        vol_s = integrate_multi(
+            dataset_map=datasets, depth_data_io=io.depth, config=self._icfg()
+        )
+        self._assert_same_volume(vol_f, vol_s)
+        self._assert_same_pcd(pcd_f, vol_s.extract_point_cloud())
+
+
 class TestBlockPoolGrowth:
     """Exhausting block_count must grow the pool and replay, ending with
     zero dropped allocations and state identical to a large-pool run
