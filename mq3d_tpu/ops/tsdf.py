@@ -57,6 +57,16 @@ class TSDFConfig:
     chunk_active_capacity: int = 12_288  # max blocks touched per chunk
     integrate_tile: int = 512  # blocks per integration tile (VMEM working set)
     tile_loop: str = "grouped"  # "static" fori | "grouped" dynamic while
+    # Depth-lookup form for the integrate inner loop.  "onehot" replaces the
+    # per-voxel flat gather (TPU gathers run ~1 element/cycle/sublane — the
+    # measured 15.3 ms/step dominates the kernel) with two one-hot matmuls
+    # over a per-block image patch (measured 1.5 ms/step, bit-exact; see
+    # tools/probe_onehot_ps.py).  "flat" keeps the gather (fast on CPU,
+    # where dense one-hot matmuls would be ~100x slower).  "auto" picks by
+    # backend at trace time.
+    depth_lookup: str = "auto"  # "auto" | "onehot" | "flat"
+    onehot_patch: int = 64  # patch size; per-(tile,frame) cond falls back to
+    #   the flat gather when any block's projected bbox exceeds it
 
     @property
     def trunc(self) -> float:
@@ -262,6 +272,15 @@ def _integrate_chunk_impl(
     TM = cfg.integrate_tile
     n_tiles = (M + TM - 1) // TM
 
+    # Depth-lookup form (see TSDFConfig.depth_lookup).  Trace-time choice:
+    # cfg is static and jit caches per backend, so "auto" resolves here.
+    PS = cfg.onehot_patch
+    use_onehot = cfg.depth_lookup == "onehot" or (
+        cfg.depth_lookup == "auto" and jax.default_backend() == "tpu"
+    )
+    if min(H, W) < PS:  # image smaller than a patch: gather is fine
+        use_onehot = False
+
     n_act_chunk = jnp.clip(rank2[-1] - skip, 0, M)
     n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
 
@@ -295,8 +314,65 @@ def _integrate_chunk_impl(
             ui = jnp.floor(uu + 0.5).astype(jnp.int32)
             vi = jnp.floor(vv + 0.5).astype(jnp.int32)
             in_img = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
-            flat = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
-            d = depth[f].reshape(-1)[flat]
+            df = depth[f]
+
+            def flat_lookup():
+                flat = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+                return df.reshape(-1)[flat]
+
+            if not use_onehot:
+                d = flat_lookup()
+            else:
+                # One-hot patch lookup: each block's in-image voxels project
+                # into a bbox (perspective projection of a convex cube attains
+                # its uv extrema at the corners; measured p99.9 footprint on
+                # the bench capture is 46 px, tools/probe_footprints.py).
+                # Slice a PSxPS patch per block and contract it with one-hot
+                # row/col selectors — two MXU matmuls instead of a 2.1M-index
+                # serial gather.  Exact: each product is 1.0*d or 0.0*d, and
+                # HIGHEST keeps the f32 operands unrounded.  Out-of-patch
+                # voxels read 0.0, and are precisely the voxels `ok` masks —
+                # unless a block's footprint exceeds PS, which the cond
+                # detects and routes the whole (tile, frame) to the gather.
+                big = jnp.int32(1 << 20)
+                ymin = jnp.min(jnp.where(in_img, vi, big), axis=1)
+                xmin = jnp.min(jnp.where(in_img, ui, big), axis=1)
+                ymax = jnp.max(jnp.where(in_img, vi, -big), axis=1)
+                xmax = jnp.max(jnp.where(in_img, ui, -big), axis=1)
+                over = jnp.any((ymax - ymin >= PS) | (xmax - xmin >= PS))
+                y0 = jnp.clip(ymin, 0, H - PS)
+                x0 = jnp.clip(xmin, 0, W - PS)
+
+                def onehot_lookup():
+                    starts = jnp.stack([y0, x0], axis=1)
+                    patch = jax.vmap(
+                        lambda st: jax.lax.dynamic_slice(
+                            df, (st[0], st[1]), (PS, PS)
+                        )
+                    )(starts)  # (TM, PS, PS)
+                    io = jnp.arange(PS, dtype=jnp.int32)
+                    hi = jax.lax.Precision.HIGHEST
+                    Vv = vi.shape[1]
+                    # 4 V-chunks bound the materialized one-hots to ~PS*Vv/4
+                    # lanes per block and are the probe's measured-exact form.
+                    VC = 4 if Vv % 4 == 0 else 1
+                    yr = vi.reshape(TM, VC, Vv // VC)
+                    xr = ui.reshape(TM, VC, Vv // VC)
+                    outs = []
+                    for k in range(VC):
+                        oh_y = (yr[:, k] - y0[:, None])[..., None] == io
+                        oh_x = (xr[:, k] - x0[:, None])[..., None] == io
+                        tmp = jnp.einsum(
+                            "bpq,bvq->bvp", patch,
+                            oh_x.astype(jnp.float32), precision=hi,
+                        )
+                        outs.append(jnp.einsum(
+                            "bvp,bvp->bv", oh_y.astype(jnp.float32), tmp,
+                            precision=hi,
+                        ))
+                    return jnp.stack(outs, axis=1).reshape(TM, Vv)
+
+                d = jax.lax.cond(over, flat_lookup, onehot_lookup)
             ok = (
                 in_img
                 & (d > 0)

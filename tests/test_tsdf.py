@@ -324,6 +324,48 @@ def test_grouped_tile_loop_saturated_chunk_matches_static():
     )
 
 
+@pytest.mark.parametrize("patch", [32, 8])
+def test_onehot_depth_lookup_bit_identical(patch, scene):
+    """The one-hot patch depth lookup (TSDFConfig.depth_lookup="onehot") is
+    bit-identical to the flat gather.  patch=32 keeps every block footprint
+    inside the patch (pure one-hot path); patch=8 forces the per-(tile,frame)
+    overflow cond onto the flat-gather fallback — both must match exactly."""
+    proj_dir, _, _ = scene
+    io = DataIO(proj_dir)
+    ds = io.depth.load_depth_dataset(Side.LEFT, use_cache=False)
+    ds.transforms = ds.transforms.convert_coordinate_system(
+        CoordinateSystem.OPEN3D, is_camera=True
+    )
+    depth, valid = io.depth.load_depth_stack(Side.LEFT, ds)
+    K = ds.get_render_intrinsic_matrices()
+    T_wc = ds.transforms.extrinsics_wc
+
+    vols = {}
+    for lookup in ("flat", "onehot"):
+        cfg = TSDFConfig(
+            voxel_size=0.05,
+            block_resolution=16,
+            block_count=2048,
+            grid_dim=16,
+            chunk_active_capacity=2048,
+            integrate_tile=256,
+            depth_lookup=lookup,
+            onehot_patch=patch,
+        )
+        v = TSDFVolume(cfg)
+        v.integrate(depth, K, T_wc, valid)
+        vols[lookup] = v
+    f, o = vols["flat"], vols["onehot"]
+    assert int(f.n_active) == int(o.n_active)
+    n = int(f.n_active)
+    np.testing.assert_array_equal(
+        np.asarray(f.state.weight[:n]), np.asarray(o.state.weight[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f.state.tsdf[:n]), np.asarray(o.state.tsdf[:n])
+    )
+
+
 def _overflow_inputs():
     # One frame seeing a wall 1m away fills far more than 4 blocks.
     H = W = 64
