@@ -163,6 +163,391 @@ def _slice_active_jit(state: "TSDFState", n_b: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# Phase A: allocation (chunk-level set union).  Shared by the single-chip and
+# sharded (parallel/sharded.py) integrate paths.
+#
+# The dominant cost of the naive formulation is TPU scatter, which runs at a
+# measured ~11 ns/index regardless of destination size
+# (tools/probe_phase_a.py, tools/probe_alloc_opt2.py): scattering all
+# C*hs*ws*27 candidate keys costs ~150 ms/chunk and scattering from the dense
+# G^3 grid side costs another ~70 ms.  The formulation here removes ~93% of
+# that: candidates are thinned EXACTLY before the scatter, and the two G^3
+# scatters are replaced by searchsorted inversions of the rank cumsums.
+# ---------------------------------------------------------------------------
+
+# Candidate-key compaction: groups of _DEDUP_GROUP consecutive candidates
+# keep their _DEDUP_KEEP smallest distinct members.  128->24 is a 5.3x
+# scatter reduction; on the bench orbit the densest group holds 21 distinct
+# survivors (max over 49 chunks, tools/probe cell in PROGRESS notes), so 24
+# leaves margin and the exactness fallback below covers content where a
+# 128-wide window of one offset plane still crosses more than 24 distinct
+# block runs.
+_DEDUP_GROUP = 128
+_DEDUP_KEEP = 24
+
+
+def _candidate_keys(cfg: TSDFConfig, depth, intrinsics, T_cw, frame_valid):
+    """(C, hs, ws, 27) int32 candidate block keys (sentinel G^3 = invalid).
+
+    Blocks overlapping the +-trunc cube around each (strided) unprojected
+    depth sample — Open3D's DepthTouch semantics (reference allocate pass,
+    o3d_utils.py:212)."""
+    C, H, W = depth.shape
+    G = cfg.grid_dim
+    ds = cfg.alloc_pixel_stride
+    fx = intrinsics[:, 0, 0][:, None, None]
+    fy = intrinsics[:, 1, 1][:, None, None]
+    cx = intrinsics[:, 0, 2][:, None, None]
+    cy = intrinsics[:, 1, 2][:, None, None]
+
+    d_sub = depth[:, ::ds, ::ds]
+    u = (jnp.arange(0, W, ds, dtype=jnp.float32))[None, None, :]
+    v = (jnp.arange(0, H, ds, dtype=jnp.float32))[None, :, None]
+    valid_px = (d_sub > 0) & (d_sub <= cfg.depth_max) & frame_valid[:, None, None]
+
+    pc = jnp.stack(
+        [(u - cx) / fx * d_sub, (v - cy) / fy * d_sub, d_sub], axis=-1
+    )  # (C, hs, ws, 3) camera-frame points
+    Rcw = T_cw[:, :3, :3]
+    tcw = T_cw[:, :3, 3]
+    pw = jnp.einsum("cij,chwj->chwi", Rcw, pc) + tcw[:, None, None, :]
+
+    offs = jnp.asarray(
+        np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1)
+        .reshape(-1, 3)
+        .astype(np.float32)
+        * cfg.trunc
+    )
+    cand = pw[:, :, :, None, :] + offs[None, None, None, :, :]
+    bcoord = jnp.floor(cand / cfg.block_size).astype(jnp.int32)
+    keys = _block_keys(bcoord, G)  # (C, hs, ws, 27)
+    return jnp.where(valid_px[..., None], keys, G ** 3)
+
+
+def _dedup_candidates(keys, sentinel):
+    """Exact duplicate-thinning of the candidate key field before scatter.
+
+    Step 1 removes an occurrence when the same key appears at the previous
+    pixel in the row, at the previous row (same offset plane), or at the
+    previous offset plane (same pixel): every compared neighbor is strictly
+    smaller under the (row, col, plane) lexicographic order, so for every
+    distinct (frame, key) the lex-first occurrence always survives — the
+    per-frame key SET is unchanged.  Step 2 reshapes each offset plane to groups of _DEDUP_GROUP
+    consecutive candidates and extracts the _DEDUP_KEEP smallest DISTINCT
+    members per group with min/mask passes (in-group duplicates collapse).
+
+    Returns (kept (C, n_groups, KEEP) int32, n_missed ()): n_missed > 0
+    means some group held more than KEEP distinct survivors and the caller
+    must use the unthinned field to stay exact."""
+    C = keys.shape[0]
+    left = jnp.concatenate(
+        [jnp.full_like(keys[:, :, :1, :], -1), keys[:, :, :-1, :]], axis=2)
+    up = jnp.concatenate(
+        [jnp.full_like(keys[:, :1, :, :], -1), keys[:, :-1, :, :]], axis=1)
+    prev = jnp.concatenate(
+        [jnp.full_like(keys[:, :, :, :1], -1), keys[:, :, :, :-1]], axis=3)
+    k = jnp.where(
+        (keys == left) | (keys == up) | (keys == prev), sentinel, keys)
+    # Plane-major flatten: a group of 128 then spans <1 row of ONE offset
+    # plane (pixel-major would put all 27 candidates of a pixel in one
+    # group and overflow KEEP at any depth edge).
+    flat = jnp.moveaxis(k, 3, 1).reshape(C, -1)
+    n = flat.shape[1]
+    pad = (-n) % _DEDUP_GROUP
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=sentinel)
+    g = flat.reshape(C, -1, _DEDUP_GROUP)
+    outs = []
+    cur = g
+    for _ in range(_DEDUP_KEEP):
+        m = jnp.min(cur, axis=-1, keepdims=True)
+        outs.append(m[..., 0])
+        cur = jnp.where(cur == m, sentinel, cur)
+    n_missed = jnp.sum(jnp.min(cur, axis=-1) < sentinel)
+    return jnp.stack(outs, axis=-1), n_missed
+
+
+def _frame_touch_grid(cfg: TSDFConfig, depth, intrinsics, T_cw, frame_valid):
+    """(C * (G^3 + 1),) uint8 per-frame touched-block grid (flat planes;
+    plane c covers keys [c*(G^3+1), (c+1)*(G^3+1))), sentinel key absorbs
+    invalid candidates."""
+    C = depth.shape[0]
+    G3 = cfg.grid_dim ** 3
+    keys = _candidate_keys(cfg, depth, intrinsics, T_cw, frame_valid)
+    kept, n_missed = _dedup_candidates(keys, G3)
+
+    def scatter_kept(_):
+        off = (jnp.arange(C, dtype=jnp.int32) * (G3 + 1))[:, None, None]
+        flat = (kept + off).reshape(-1)
+        return jnp.zeros((C * (G3 + 1),), jnp.uint8).at[flat].max(jnp.uint8(1))
+
+    def scatter_full(_):
+        off = (jnp.arange(C, dtype=jnp.int32) * (G3 + 1))[:, None, None, None]
+        flat = (keys + off).reshape(-1)
+        return jnp.zeros((C * (G3 + 1),), jnp.uint8).at[flat].max(jnp.uint8(1))
+
+    return jax.lax.cond(n_missed > 0, scatter_full, scatter_kept, 0)
+
+
+def _alloc_and_window(cfg: TSDFConfig, state: TSDFState, touched, block_skip):
+    """Allocate new touched blocks and build the chunk's capacity window.
+
+    `touched` is the (G^3,) chunk-union touch field.  Returns
+    (slot_table, block_coords, n_active, overflow, dropped_active,
+     active_slots (M,), wkeys (M,), n_act_chunk) — `active_slots[i]` is the
+    voxel-table row of the i-th touched block in grid-key (rank) order
+    within the window (skip, skip+M], sentinel `cap` past the count."""
+    G = cfg.grid_dim
+    cap = cfg.block_count
+    M = cfg.chunk_active_capacity
+    skip = jnp.asarray(block_skip, jnp.int32)
+
+    new_mask = (touched > 0) & (state.slot_table < 0)
+    ranks = jnp.cumsum(new_mask.astype(jnp.int32))
+    total_new = ranks[-1]
+    slot_for_new = state.n_active + ranks - 1
+    can_fit = slot_for_new < cap
+    slot_table = jnp.where(new_mask & can_fit, slot_for_new, state.slot_table)
+
+    # Coords of new blocks: invert the monotone rank cumsum with a
+    # vectorized bisection (first index with rank >= q) instead of
+    # scattering all G^3 rows.
+    qn = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    key_of_new = jnp.searchsorted(ranks, qn).astype(jnp.int32)
+    slot_of_new = state.n_active + qn - 1
+    ok_new = (qn <= total_new) & (slot_of_new < cap)
+    coords_new = _keys_to_coords(jnp.minimum(key_of_new, G ** 3 - 1), G)
+    block_coords = state.block_coords.at[
+        jnp.where(ok_new, slot_of_new, cap)
+    ].set(jnp.where(ok_new[:, None], coords_new, 0), mode="drop")
+
+    n_active = jnp.minimum(state.n_active + total_new, cap)
+    overflow = state.overflow + jnp.maximum(state.n_active + total_new - cap, 0)
+
+    active_mask = (touched > 0) & (slot_table >= 0)
+    rank2 = jnp.cumsum(active_mask.astype(jnp.int32))
+    n_touch = rank2[-1]
+    qw = skip + 1 + jnp.arange(M, dtype=jnp.int32)
+    wkeys = jnp.searchsorted(rank2, qw).astype(jnp.int32)
+    w_ok = qw <= n_touch
+    active_slots = jnp.where(
+        w_ok, slot_table[jnp.minimum(wkeys, G ** 3 - 1)], cap)
+    dropped_active = state.dropped_active + jnp.maximum(n_touch - skip - M, 0)
+    n_act_chunk = jnp.clip(n_touch - skip, 0, M)
+    return (slot_table, block_coords, n_active, overflow, dropped_active,
+            active_slots, wkeys, n_act_chunk)
+
+
+def _pairs_from_grid(cfg: TSDFConfig, frame_touched, wkeys, w_valid, C: int):
+    """Compacted (window-block, frame) pair list.
+
+    Integration work is proportional to actually-touched pairs, not
+    window-capacity x frames (the bench orbit computes 2.8x fewer voxel
+    visits this way — tools/probe_integrate_decomp.py E).  Codes are
+    widx * C + f in ascending order (block-major, frame-minor), so each
+    block's observations still accumulate in frame order; sentinel M*C
+    pads the tail."""
+    G3 = cfg.grid_dim ** 3
+    M = cfg.chunk_active_capacity
+    P = M * C
+    idx = (jnp.minimum(wkeys, G3 - 1)[:, None]
+           + (jnp.arange(C, dtype=jnp.int32) * (G3 + 1))[None, :])
+    bits = (frame_touched[idx] > 0) & w_valid[:, None]  # (M, C)
+    flat = bits.reshape(-1)
+    prank = jnp.cumsum(flat.astype(jnp.int32))
+    n_pairs = prank[-1]
+    tgt = jnp.where(flat, prank - 1, P)
+    codes = jnp.full((P + 1,), P, jnp.int32).at[tgt].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")[:P]
+    return codes, n_pairs
+
+
+# ---------------------------------------------------------------------------
+# Phase B: integration over compacted pair tiles.
+# ---------------------------------------------------------------------------
+
+
+def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
+                     block_coords, active_slots, pair_codes, n_pairs):
+    """Accumulate (sum_obs, count) per window block over compacted pairs.
+
+    Each tile processes cfg.integrate_tile (window-block, frame) pairs:
+    project the block's R^3 voxels into the pair's frame, look the depth up
+    (one-hot patch matmuls on TPU, flat gather elsewhere), and scatter-add
+    the per-voxel observations into window-local accumulators (M+1, R^3).
+    Returns (sums, cnts).  Bit-reproducible across window splits: a block's
+    pairs all live in its own window pass."""
+    C, H, W = depth.shape
+    cap = cfg.block_count
+    R = cfg.block_resolution
+    M = cfg.chunk_active_capacity
+    TP = cfg.integrate_tile
+    P = M * C
+    n_tiles = (P + TP - 1) // TP
+    voxel_offs = jnp.asarray(_voxel_offsets(R))
+    Rwc = extrinsics_wc[:, :3, :3].astype(jnp.float32)
+    twc = extrinsics_wc[:, :3, 3].astype(jnp.float32)
+    inv_trunc = jnp.float32(1.0 / cfg.trunc)
+    fxv = intrinsics[:, 0, 0]
+    fyv = intrinsics[:, 1, 1]
+    cxv = intrinsics[:, 0, 2]
+    cyv = intrinsics[:, 1, 2]
+    depth_flat = depth.reshape(-1)
+
+    # Depth-lookup form (see TSDFConfig.depth_lookup).  Trace-time choice:
+    # cfg is static and jit caches per backend, so "auto" resolves here.
+    PS = cfg.onehot_patch
+    use_onehot = cfg.depth_lookup == "onehot" or (
+        cfg.depth_lookup == "auto" and jax.default_backend() == "tpu"
+    )
+    if min(H, W) < PS:  # image smaller than a patch: gather is fine
+        use_onehot = False
+
+    n_tiles_dyn = (n_pairs + TP - 1) // TP
+
+    def tile_body(t, carry):
+        sums, cnts = carry
+        t_clamped = jnp.minimum(t, n_tiles - 1)
+        codes = jax.lax.dynamic_slice(pair_codes, (t_clamped * TP,), (TP,))
+        ok_pair = (codes < P) & (t < n_tiles_dyn)
+        codes_s = jnp.where(ok_pair, codes, 0)
+        widx = codes_s // C
+        f = codes_s % C
+        slots = jnp.where(ok_pair, active_slots[widx], cap)
+        bc = block_coords[jnp.minimum(slots, cap)]  # (TP, 3)
+        p = ((bc * R)[:, None, :] + voxel_offs[None, :, :]).astype(
+            jnp.float32) * cfg.voxel_size
+
+        pc = jnp.einsum("tij,tvj->tvi", Rwc[f], p) + twc[f][:, None, :]
+        z = pc[..., 2]
+        safe_z = jnp.where(z > 0, z, 1.0)
+        uu = fxv[f][:, None] * pc[..., 0] / safe_z + cxv[f][:, None]
+        vv = fyv[f][:, None] * pc[..., 1] / safe_z + cyv[f][:, None]
+        ui = jnp.floor(uu + 0.5).astype(jnp.int32)
+        vi = jnp.floor(vv + 0.5).astype(jnp.int32)
+        in_img = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
+
+        def flat_lookup():
+            flat = (f[:, None] * (H * W)
+                    + jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1))
+            return depth_flat[flat]
+
+        if not use_onehot:
+            d = flat_lookup()
+        else:
+            # One-hot patch lookup: each pair's in-image voxels project into
+            # a bbox (perspective projection of a convex cube attains its uv
+            # extrema at the corners; measured p99.9 footprint on the bench
+            # capture is 46 px, tools/probe_footprints.py).  Slice a PSxPS
+            # patch per pair and contract it with one-hot row/col selectors
+            # — two MXU matmuls instead of a 2.1M-index serial gather.
+            # Exact: each product is 1.0*d or 0.0*d, and HIGHEST keeps the
+            # f32 operands unrounded.  Out-of-patch voxels read 0.0 and are
+            # precisely the voxels `ok` masks — unless a pair's footprint
+            # exceeds PS, which the cond detects and routes the whole tile
+            # to the gather.
+            big = jnp.int32(1 << 20)
+            ymin = jnp.min(jnp.where(in_img, vi, big), axis=1)
+            xmin = jnp.min(jnp.where(in_img, ui, big), axis=1)
+            ymax = jnp.max(jnp.where(in_img, vi, -big), axis=1)
+            xmax = jnp.max(jnp.where(in_img, ui, -big), axis=1)
+            over = jnp.any((ymax - ymin >= PS) | (xmax - xmin >= PS))
+            y0 = jnp.clip(ymin, 0, H - PS)
+            x0 = jnp.clip(xmin, 0, W - PS)
+
+            def onehot_lookup():
+                starts = jnp.stack([f, y0, x0], axis=1)
+                patch = jax.vmap(
+                    lambda st: jax.lax.dynamic_slice(
+                        depth, (st[0], st[1], st[2]), (1, PS, PS)
+                    )[0]
+                )(starts)  # (TP, PS, PS)
+                io = jnp.arange(PS, dtype=jnp.int32)
+                hi = jax.lax.Precision.HIGHEST
+                Vv = vi.shape[1]
+                # 4 V-chunks bound the materialized one-hots to ~PS*Vv/4
+                # lanes per pair and are the probe's measured-exact form.
+                VC = 4 if Vv % 4 == 0 else 1
+                yr = vi.reshape(TP, VC, Vv // VC)
+                xr = ui.reshape(TP, VC, Vv // VC)
+                outs = []
+                for k in range(VC):
+                    oh_y = (yr[:, k] - y0[:, None])[..., None] == io
+                    oh_x = (xr[:, k] - x0[:, None])[..., None] == io
+                    tmp = jnp.einsum(
+                        "bpq,bvq->bvp", patch,
+                        oh_x.astype(jnp.float32), precision=hi,
+                    )
+                    outs.append(jnp.einsum(
+                        "bvp,bvp->bv", oh_y.astype(jnp.float32), tmp,
+                        precision=hi,
+                    ))
+                return jnp.stack(outs, axis=1).reshape(TP, Vv)
+
+            d = jax.lax.cond(over, flat_lookup, onehot_lookup)
+
+        ok = in_img & (d > 0) & (d <= cfg.depth_max) & ok_pair[:, None]
+        sdf = d - z
+        ok &= sdf >= -cfg.trunc
+        obs = jnp.minimum(sdf, cfg.trunc) * inv_trunc
+        tgt = jnp.where(ok_pair, widx, M)
+        sums = sums.at[tgt].add(jnp.where(ok, obs, 0.0))
+        cnts = cnts.at[tgt].add(ok.astype(jnp.float32))
+        return (sums, cnts)
+
+    sums0 = jnp.zeros((M + 1, cfg.r3), jnp.float32)
+    cnts0 = jnp.zeros((M + 1, cfg.r3), jnp.float32)
+    if cfg.tile_loop == "static":
+        return jax.lax.fori_loop(0, n_tiles, tile_body, (sums0, cnts0))
+
+    # Data-dependent while over GROUPS of unrolled tiles: a bare while over
+    # single tiles measured 3x slower than a static fori (defeats XLA's
+    # pipelining); tiles at or past the dynamic count no-op via ok_pair.
+    group = min(_TILE_GROUP, n_tiles)
+    n_groups_dyn = (n_tiles_dyn + group - 1) // group
+
+    def tile_cond(c):
+        return c[0] < n_groups_dyn
+
+    def tile_step(c):
+        g, acc = c
+        for k in range(group):
+            acc = tile_body(g * group + k, acc)
+        return (g + 1, acc)
+
+    _, (sums, cnts) = jax.lax.while_loop(
+        tile_cond, tile_step, (jnp.int32(0), (sums0, cnts0)))
+    return sums, cnts
+
+
+def _merge_window(cfg: TSDFConfig, tsdf_arr, weight_arr, active_slots,
+                  sums, cnts):
+    """Fold the window accumulators into the voxel tables: Open3D's running
+    weighted average tsdf' = (tsdf*w + sum_obs)/(w + cnt), w' = w + cnt, in
+    ONE gather -> merge -> scatter over the M window rows."""
+    cap = cfg.block_count
+    M = cfg.chunk_active_capacity
+    valid = active_slots < cap
+    slots_safe = jnp.minimum(active_slots, cap)
+    t_old = tsdf_arr[slots_safe]
+    w_old = weight_arr[slots_safe]
+    s = sums[:M]
+    c = cnts[:M]
+    new_w = w_old + c
+    new_t = jnp.where(
+        c > 0, (t_old * w_old + s) / jnp.maximum(new_w, 1.0), t_old)
+    tsdf_arr = tsdf_arr.at[slots_safe].set(
+        jnp.where(valid[:, None], new_t, 0.0))
+    weight_arr = weight_arr.at[slots_safe].set(
+        jnp.where(valid[:, None], new_w, 0.0))
+    # Keep the sentinel row zeroed (invalid window entries overwrite it
+    # above; a saturated window never touches it).
+    tsdf_arr = tsdf_arr.at[cap].set(0.0)
+    weight_arr = weight_arr.at[cap].set(0.0)
+    return tsdf_arr, weight_arr
+
+
 def _integrate_chunk_impl(
     cfg: TSDFConfig,
     state: TSDFState,
@@ -174,266 +559,47 @@ def _integrate_chunk_impl(
 ) -> TSDFState:
     """Fuse a chunk of depth frames into the volume in one launch.
 
+    Phases (each a shared helper so parallel/sharded.py composes them with
+    psum/psum_scatter merges):
+      A. per-frame touch grids (dedup + scatter) -> chunk union -> slot
+         allocation + capacity window (searchsorted inversions);
+      B. compacted (block, frame) pair tiles -> window-local (sum, count)
+         accumulators -> one gather/merge/scatter over the window rows.
+
+    Per-frame touch gating reproduces Open3D's allocate-then-integrate per
+    frame (o3d_utils.py:212-229) exactly: a block integrates against frame
+    f iff f's depth touched it, so chunked == per-frame composition.
+
     `block_skip` selects the capacity window of touched blocks to
     integrate: blocks with compaction rank in (skip, skip + capacity].
-    Each block's update is independent of the others (it folds the whole
-    frame loop in one pass), so windowed passes over disjoint block ranges
+    Each block's update is independent of the others (all its pairs live in
+    its own window pass), so windowed passes over disjoint block ranges
     compose BIT-identically to one unbounded pass — this is what
     TSDFVolume.integrate's auto-split overflow retry relies on."""
-    C, H, W = depth.shape
-    G = cfg.grid_dim
-    R = cfg.block_resolution
+    C = depth.shape[0]
+    G3 = cfg.grid_dim ** 3
     cap = cfg.block_count
 
     depth = depth.astype(jnp.float32)
-    fx = intrinsics[:, 0, 0][:, None, None]
-    fy = intrinsics[:, 1, 1][:, None, None]
-    cx = intrinsics[:, 0, 2][:, None, None]
-    cy = intrinsics[:, 1, 2][:, None, None]
-
     T_cw = jnp.linalg.inv(extrinsics_wc.astype(jnp.float32))  # camera-to-world
 
-    # ---- Phase A: allocation (chunk-level set union) -----------------------
-    ds = cfg.alloc_pixel_stride
-    d_sub = depth[:, ::ds, ::ds]
-    hs, ws = d_sub.shape[1], d_sub.shape[2]
-    u = (jnp.arange(0, W, ds, dtype=jnp.float32))[None, None, :]
-    v = (jnp.arange(0, H, ds, dtype=jnp.float32))[None, :, None]
-    valid_px = (d_sub > 0) & (d_sub <= cfg.depth_max) & frame_valid[:, None, None]
+    frame_touched = _frame_touch_grid(cfg, depth, intrinsics, T_cw, frame_valid)
+    touched = jnp.max(
+        frame_touched.reshape(C, G3 + 1), axis=0)[:G3].astype(jnp.int32)
 
-    xr = (u - cx) / fx
-    yr = (v - cy) / fy
-    pc = jnp.stack(
-        [xr * d_sub, yr * d_sub, d_sub], axis=-1
-    )  # (C, hs, ws, 3) camera-frame points
-    Rcw = T_cw[:, :3, :3]
-    tcw = T_cw[:, :3, 3]
-    pw = jnp.einsum("cij,chwj->chwi", Rcw, pc) + tcw[:, None, None, :]
+    (slot_table, block_coords, n_active, overflow, dropped_active,
+     active_slots, wkeys, _n_act) = _alloc_and_window(
+        cfg, state, touched, block_skip)
 
-    # Blocks overlapping the +-trunc cube around each sample: 27 offsets.
-    offs = jnp.asarray(
-        np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1)
-        .reshape(-1, 3)
-        .astype(np.float32)
-        * cfg.trunc
-    )
-    cand = pw[:, :, :, None, :] + offs[None, None, None, :, :]
-    bcoord = jnp.floor(cand / cfg.block_size).astype(jnp.int32)
-    keys = _block_keys(bcoord, G)  # (C, hs, ws, 27)
-    keys = jnp.where(valid_px[..., None], keys, G ** 3)
+    pair_codes, n_pairs = _pairs_from_grid(
+        cfg, frame_touched, wkeys, active_slots < cap, C)
 
-    # Per-frame touch sets: Open3D integrates a block against frame f only
-    # when f's depth touches it (allocate-then-integrate per frame,
-    # o3d_utils.py:212-229).  Gating on per-frame touch bits reproduces that
-    # exactly AND makes chunked integration bit-identical to per-frame.
-    frame_offsets = (jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1))[:, None, None, None]
-    flat_keys = (keys + frame_offsets).reshape(-1)
-    frame_touched = (
-        jnp.zeros((C * (G ** 3 + 1),), jnp.uint8).at[flat_keys].max(jnp.uint8(1))
-    )
-    touched = jnp.max(frame_touched.reshape(C, G ** 3 + 1), axis=0)[: G ** 3].astype(
-        jnp.int32
-    )
+    sums, cnts = _integrate_pairs(
+        cfg, depth, intrinsics, extrinsics_wc.astype(jnp.float32),
+        block_coords, active_slots, pair_codes, n_pairs)
 
-    new_mask = (touched > 0) & (state.slot_table < 0)
-    ranks = jnp.cumsum(new_mask.astype(jnp.int32))
-    total_new = ranks[-1]
-    slot_for_new = state.n_active + ranks - 1
-    can_fit = slot_for_new < cap
-
-    slot_table = jnp.where(new_mask & can_fit, slot_for_new, state.slot_table)
-
-    grid_keys = jnp.arange(G ** 3, dtype=jnp.int32)
-    coords_all = _keys_to_coords(grid_keys, G)
-    scatter_idx = jnp.where(new_mask & can_fit, slot_for_new, cap)
-    block_coords = state.block_coords.at[scatter_idx].set(coords_all, mode="drop")
-
-    n_active = jnp.minimum(state.n_active + total_new, cap)
-    overflow = state.overflow + jnp.maximum(state.n_active + total_new - cap, 0)
-
-    # ---- Chunk active block list (fixed capacity window) --------------------
-    M = cfg.chunk_active_capacity
-    skip = jnp.asarray(block_skip, jnp.int32)
-    active_mask = (touched > 0) & (slot_table >= 0)
-    rank2 = jnp.cumsum(active_mask.astype(jnp.int32))
-    in_window = active_mask & (rank2 > skip) & (rank2 <= skip + M)
-    list_idx = jnp.where(in_window, rank2 - 1 - skip, M)
-    active_slots = (
-        jnp.full((M + 1,), cap, dtype=jnp.int32).at[list_idx].set(slot_table, mode="drop")
-    )[:M]
-    dropped_active = state.dropped_active + jnp.maximum(rank2[-1] - skip - M, 0)
-
-    # ---- Phase B: gather -> integrate -> scatter, tiled over blocks ---------
-    voxel_offs = jnp.asarray(_voxel_offsets(R))  # (R^3, 3)
-    Rwc = extrinsics_wc[:, :3, :3].astype(jnp.float32)
-    twc = extrinsics_wc[:, :3, 3].astype(jnp.float32)
-    inv_trunc = jnp.float32(1.0 / cfg.trunc)
-
-    TM = cfg.integrate_tile
-    n_tiles = (M + TM - 1) // TM
-
-    # Depth-lookup form (see TSDFConfig.depth_lookup).  Trace-time choice:
-    # cfg is static and jit caches per backend, so "auto" resolves here.
-    PS = cfg.onehot_patch
-    use_onehot = cfg.depth_lookup == "onehot" or (
-        cfg.depth_lookup == "auto" and jax.default_backend() == "tpu"
-    )
-    if min(H, W) < PS:  # image smaller than a patch: gather is fine
-        use_onehot = False
-
-    n_act_chunk = jnp.clip(rank2[-1] - skip, 0, M)
-    n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
-
-    def tile_body(t, carry):
-        # `t` may exceed n_tiles-1 (group padding in the dynamic loop); only
-        # the slice start is clamped — the slot_ok guard uses the RAW index so
-        # a padded revisit of the last tile is a no-op even when the chunk
-        # saturates capacity (n_tiles_dyn == n_tiles).
-        tsdf_arr, weight_arr = carry
-        t_clamped = jnp.minimum(t, n_tiles - 1)
-        slots = jax.lax.dynamic_slice(active_slots, (t_clamped * TM,), (TM,))
-        slot_ok = (slots < cap) & (t < n_tiles_dyn)
-        bc = block_coords[jnp.minimum(slots, cap)]  # (TM, 3)
-
-        # Per-frame touch bits for this tile's blocks: (TM, C).
-        tile_keys = _block_keys(bc, G)
-        touch_bits = frame_touched[
-            tile_keys[:, None] + (jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1))[None, :]
-        ]
-
-        base = (bc * R)[:, None, :] + voxel_offs[None, :, :]  # (TM, R^3, 3)
-        p = base.astype(jnp.float32) * cfg.voxel_size
-
-        def frame_body(f, acc):
-            s, cnt = acc
-            pc = jnp.einsum("ij,tvj->tvi", Rwc[f], p) + twc[f]
-            z = pc[..., 2]
-            safe_z = jnp.where(z > 0, z, 1.0)
-            uu = intrinsics[f, 0, 0] * pc[..., 0] / safe_z + intrinsics[f, 0, 2]
-            vv = intrinsics[f, 1, 1] * pc[..., 1] / safe_z + intrinsics[f, 1, 2]
-            ui = jnp.floor(uu + 0.5).astype(jnp.int32)
-            vi = jnp.floor(vv + 0.5).astype(jnp.int32)
-            in_img = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
-            df = depth[f]
-
-            def flat_lookup():
-                flat = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
-                return df.reshape(-1)[flat]
-
-            if not use_onehot:
-                d = flat_lookup()
-            else:
-                # One-hot patch lookup: each block's in-image voxels project
-                # into a bbox (perspective projection of a convex cube attains
-                # its uv extrema at the corners; measured p99.9 footprint on
-                # the bench capture is 46 px, tools/probe_footprints.py).
-                # Slice a PSxPS patch per block and contract it with one-hot
-                # row/col selectors — two MXU matmuls instead of a 2.1M-index
-                # serial gather.  Exact: each product is 1.0*d or 0.0*d, and
-                # HIGHEST keeps the f32 operands unrounded.  Out-of-patch
-                # voxels read 0.0, and are precisely the voxels `ok` masks —
-                # unless a block's footprint exceeds PS, which the cond
-                # detects and routes the whole (tile, frame) to the gather.
-                big = jnp.int32(1 << 20)
-                ymin = jnp.min(jnp.where(in_img, vi, big), axis=1)
-                xmin = jnp.min(jnp.where(in_img, ui, big), axis=1)
-                ymax = jnp.max(jnp.where(in_img, vi, -big), axis=1)
-                xmax = jnp.max(jnp.where(in_img, ui, -big), axis=1)
-                over = jnp.any((ymax - ymin >= PS) | (xmax - xmin >= PS))
-                y0 = jnp.clip(ymin, 0, H - PS)
-                x0 = jnp.clip(xmin, 0, W - PS)
-
-                def onehot_lookup():
-                    starts = jnp.stack([y0, x0], axis=1)
-                    patch = jax.vmap(
-                        lambda st: jax.lax.dynamic_slice(
-                            df, (st[0], st[1]), (PS, PS)
-                        )
-                    )(starts)  # (TM, PS, PS)
-                    io = jnp.arange(PS, dtype=jnp.int32)
-                    hi = jax.lax.Precision.HIGHEST
-                    Vv = vi.shape[1]
-                    # 4 V-chunks bound the materialized one-hots to ~PS*Vv/4
-                    # lanes per block and are the probe's measured-exact form.
-                    VC = 4 if Vv % 4 == 0 else 1
-                    yr = vi.reshape(TM, VC, Vv // VC)
-                    xr = ui.reshape(TM, VC, Vv // VC)
-                    outs = []
-                    for k in range(VC):
-                        oh_y = (yr[:, k] - y0[:, None])[..., None] == io
-                        oh_x = (xr[:, k] - x0[:, None])[..., None] == io
-                        tmp = jnp.einsum(
-                            "bpq,bvq->bvp", patch,
-                            oh_x.astype(jnp.float32), precision=hi,
-                        )
-                        outs.append(jnp.einsum(
-                            "bvp,bvp->bv", oh_y.astype(jnp.float32), tmp,
-                            precision=hi,
-                        ))
-                    return jnp.stack(outs, axis=1).reshape(TM, Vv)
-
-                d = jax.lax.cond(over, flat_lookup, onehot_lookup)
-            ok = (
-                in_img
-                & (d > 0)
-                & (d <= cfg.depth_max)
-                & frame_valid[f]
-                & (touch_bits[:, f] > 0)[:, None]
-            )
-            sdf = d - z
-            ok &= sdf >= -cfg.trunc
-            obs = jnp.minimum(sdf, cfg.trunc) * inv_trunc
-            s = s + jnp.where(ok, obs, 0.0)
-            cnt = cnt + ok.astype(jnp.float32)
-            return (s, cnt)
-
-        s0 = jnp.zeros((TM, cfg.r3), jnp.float32)
-        c0 = jnp.zeros((TM, cfg.r3), jnp.float32)
-        s, cnt = jax.lax.fori_loop(0, C, frame_body, (s0, c0))
-
-        slots_safe = jnp.where(slot_ok, slots, cap)
-        t_old = tsdf_arr[slots_safe]
-        w_old = weight_arr[slots_safe]
-        new_w = w_old + cnt
-        new_t = jnp.where(cnt > 0, (t_old * w_old + s) / jnp.maximum(new_w, 1.0), t_old)
-        tsdf_arr = tsdf_arr.at[slots_safe].set(jnp.where(slot_ok[:, None], new_t, 0.0))
-        weight_arr = weight_arr.at[slots_safe].set(
-            jnp.where(slot_ok[:, None], new_w, 0.0)
-        )
-        return (tsdf_arr, weight_arr)
-
-    # Dynamic tile count: the active list is compacted to the front, so only
-    # ceil(actual_active / TM) tiles carry work — a chunk typically touches
-    # a small fraction of chunk_active_capacity and the static bound would
-    # burn ~M/actual x the compute (the inner loop is the pipeline's #1
-    # FLOP sink).  A bare lax.while_loop over single tiles measured 3x
-    # SLOWER than the static fori (it defeats XLA's unroll/pipelining), so
-    # the loop runs over GROUPS of tiles: a data-dependent while over
-    # groups, each body an unrolled run of _TILE_GROUP tile_body calls
-    # (tiles at or past the dynamic count no-op via the slot_ok guard).
-    if cfg.tile_loop == "static":
-        tsdf_arr, weight_arr = jax.lax.fori_loop(
-            0, n_tiles, tile_body, (state.tsdf, state.weight)
-        )
-    else:
-        group = min(_TILE_GROUP, n_tiles)
-        n_groups_dyn = (n_tiles_dyn + group - 1) // group
-
-        def tile_cond(c):
-            return c[0] < n_groups_dyn
-
-        def tile_step(c):
-            g, arrs = c
-            for k in range(group):
-                arrs = tile_body(g * group + k, arrs)
-            return (g + 1, arrs)
-
-        _, (tsdf_arr, weight_arr) = jax.lax.while_loop(
-            tile_cond, tile_step, (jnp.int32(0), (state.tsdf, state.weight))
-        )
-    # Keep the sentinel row zeroed.
-    tsdf_arr = tsdf_arr.at[cap].set(0.0)
-    weight_arr = weight_arr.at[cap].set(0.0)
+    tsdf_arr, weight_arr = _merge_window(
+        cfg, state.tsdf, state.weight, active_slots, sums, cnts)
 
     return TSDFState(
         slot_table=slot_table,

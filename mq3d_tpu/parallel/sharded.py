@@ -28,43 +28,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mq3d_tpu.ops.tsdf import (
     TSDFConfig,
     TSDFState,
-    _block_keys,
-    _keys_to_coords,
-    _voxel_offsets,
+    _alloc_and_window,
+    _frame_touch_grid,
+    _integrate_pairs,
+    _merge_window,
+    _pairs_from_grid,
     create_state,
 )
-
-
-def _local_alloc_keys(cfg: TSDFConfig, depth, intrinsics, T_cw, frame_valid):
-    """Candidate block keys for a local frame shard: (n_keys,) int32 with
-    sentinel G^3 for invalid."""
-    C, H, W = depth.shape
-    G = cfg.grid_dim
-    ds = cfg.alloc_pixel_stride
-    fx = intrinsics[:, 0, 0][:, None, None]
-    fy = intrinsics[:, 1, 1][:, None, None]
-    cx = intrinsics[:, 0, 2][:, None, None]
-    cy = intrinsics[:, 1, 2][:, None, None]
-
-    d_sub = depth[:, ::ds, ::ds]
-    u = (jnp.arange(0, W, ds, dtype=jnp.float32))[None, None, :]
-    v = (jnp.arange(0, H, ds, dtype=jnp.float32))[None, :, None]
-    valid_px = (d_sub > 0) & (d_sub <= cfg.depth_max) & frame_valid[:, None, None]
-    pc = jnp.stack([(u - cx) / fx * d_sub, (v - cy) / fy * d_sub, d_sub], axis=-1)
-    Rcw = T_cw[:, :3, :3]
-    tcw = T_cw[:, :3, 3]
-    pw = jnp.einsum("cij,chwj->chwi", Rcw, pc) + tcw[:, None, None, :]
-
-    offs = jnp.asarray(
-        np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1)
-        .reshape(-1, 3)
-        .astype(np.float32)
-        * cfg.trunc
-    )
-    cand = pw[:, :, :, None, :] + offs[None, None, None, :, :]
-    bcoord = jnp.floor(cand / cfg.block_size).astype(jnp.int32)
-    keys = _block_keys(bcoord, G)
-    return jnp.where(valid_px[..., None], keys, G ** 3).reshape(-1)
 
 
 def padded_rows(cfg: TSDFConfig, n_dev: int) -> int:
@@ -112,171 +82,72 @@ def sharded_integrate_step(cfg: TSDFConfig, mesh: Mesh, axis: str = "data",
     collective bytes of the all-reduce and 1/n_dev of the per-device state
     HBM — use create_state_partitioned() for the initial state.
     """
-    G = cfg.grid_dim
-    R = cfg.block_resolution
+    G3 = cfg.grid_dim ** 3
     cap = cfg.block_count
+    M = cfg.chunk_active_capacity
     n_dev = int(mesh.devices.size)
     rows = padded_rows(cfg, n_dev) if partition_state else cap + 1
     rows_local = rows // n_dev
-    voxel_offs = jnp.asarray(_voxel_offsets(R))
 
     def step_local(state: TSDFState, depth, intrinsics, T_wc, frame_valid):
         C = depth.shape[0]  # local frames per device
-        T_cw = jnp.linalg.inv(T_wc.astype(jnp.float32))
+        depth = depth.astype(jnp.float32)
+        T_wc = T_wc.astype(jnp.float32)
+        T_cw = jnp.linalg.inv(T_wc)
 
-        # ---- allocation: local touched set -> global union (psum) ----------
-        keys = _local_alloc_keys(cfg, depth, intrinsics, T_cw, frame_valid)
-        # Per-local-frame touch sets (gating integration like the single-chip
-        # path, so sharded == per-frame exactly).
-        n_pix27 = keys.shape[0] // C
-        frame_offsets = (
-            jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1)
-        ).repeat(n_pix27)
-        frame_touched = (
-            jnp.zeros((C * (G ** 3 + 1),), jnp.uint8)
-            .at[keys + frame_offsets]
-            .max(jnp.uint8(1))
-        )
+        # ---- allocation: local touched sets -> global union (psum) ---------
+        # Same phase helpers as the single-chip kernel (ops/tsdf.py); the
+        # touch grids stay per-frame LOCAL (gating integration like the
+        # single-chip path, so sharded == per-frame exactly) and only the
+        # chunk union crosses devices.
+        frame_touched = _frame_touch_grid(
+            cfg, depth, intrinsics, T_cw, frame_valid)
         touched_local = jnp.max(
-            frame_touched.reshape(C, G ** 3 + 1), axis=0
-        )[: G ** 3].astype(jnp.int32)
+            frame_touched.reshape(C, G3 + 1), axis=0)[:G3].astype(jnp.int32)
         touched = jax.lax.psum(touched_local, axis)  # union (count>0 == any)
 
-        new_mask = (touched > 0) & (state.slot_table < 0)
-        ranks = jnp.cumsum(new_mask.astype(jnp.int32))
-        total_new = ranks[-1]
-        slot_for_new = state.n_active + ranks - 1
-        can_fit = slot_for_new < cap
-        slot_table = jnp.where(new_mask & can_fit, slot_for_new, state.slot_table)
-        grid_keys = jnp.arange(G ** 3, dtype=jnp.int32)
-        coords_all = _keys_to_coords(grid_keys, G)
-        scatter_idx = jnp.where(new_mask & can_fit, slot_for_new, cap)
-        block_coords = state.block_coords.at[scatter_idx].set(coords_all, mode="drop")
-        n_active = jnp.minimum(state.n_active + total_new, cap)
-        overflow = state.overflow + jnp.maximum(state.n_active + total_new - cap, 0)
+        (slot_table, block_coords, n_active, overflow, dropped_active,
+         active_slots, wkeys, _n_act) = _alloc_and_window(
+            cfg, state, touched, jnp.int32(0))
 
-        # ---- chunk active list (identical on every device) ------------------
-        M = cfg.chunk_active_capacity
-        active_mask = (touched > 0) & (slot_table >= 0)
-        rank2 = jnp.cumsum(active_mask.astype(jnp.int32))
-        list_idx = jnp.where(active_mask & (rank2 <= M), rank2 - 1, M)
-        active_slots = (
-            jnp.full((M + 1,), cap, jnp.int32).at[list_idx].set(slot_table, mode="drop")
-        )[:M]
-        dropped_active = state.dropped_active + jnp.maximum(rank2[-1] - M, 0)
-
-        # ---- local integration over the frame shard -------------------------
-        H, W = depth.shape[1], depth.shape[2]
-        Rwc = T_wc[:, :3, :3].astype(jnp.float32)
-        twc = T_wc[:, :3, 3].astype(jnp.float32)
-        inv_trunc = jnp.float32(1.0 / cfg.trunc)
-        TM = cfg.integrate_tile
-        n_tiles = (M + TM - 1) // TM
-
-        n_act_chunk = jnp.minimum(rank2[-1], M)
-        n_tiles_dyn = jnp.minimum((n_act_chunk + TM - 1) // TM, n_tiles)
-
-        def tile_body(t, acc):
-            # `t` may exceed n_tiles-1 (group padding); clamp only the slice
-            # start — the guard uses the RAW index so a padded revisit of the
-            # last tile is a no-op when the chunk saturates capacity.
-            sums, cnts = acc
-            t_clamped = jnp.minimum(t, n_tiles - 1)
-            slots = jax.lax.dynamic_slice(active_slots, (t_clamped * TM,), (TM,))
-            slot_ok = (slots < cap) & (t < n_tiles_dyn)
-            bc = block_coords[jnp.minimum(slots, cap)]
-            tile_keys = _block_keys(bc, G)
-            touch_bits = frame_touched[
-                tile_keys[:, None]
-                + (jnp.arange(C, dtype=jnp.int32) * (G ** 3 + 1))[None, :]
-            ]
-            p = ((bc * R)[:, None, :] + voxel_offs[None, :, :]).astype(
-                jnp.float32
-            ) * cfg.voxel_size
-
-            def frame_body(f, a):
-                s, c = a
-                pc = jnp.einsum("ij,tvj->tvi", Rwc[f], p) + twc[f]
-                z = pc[..., 2]
-                zs = jnp.where(z > 0, z, 1.0)
-                uu = intrinsics[f, 0, 0] * pc[..., 0] / zs + intrinsics[f, 0, 2]
-                vv = intrinsics[f, 1, 1] * pc[..., 1] / zs + intrinsics[f, 1, 2]
-                ui = jnp.floor(uu + 0.5).astype(jnp.int32)
-                vi = jnp.floor(vv + 0.5).astype(jnp.int32)
-                in_img = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
-                d = depth[f].reshape(-1)[
-                    jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
-                ]
-                ok = (
-                    in_img & (d > 0) & (d <= cfg.depth_max) & frame_valid[f]
-                    & (touch_bits[:, f] > 0)[:, None]
-                )
-                sdf = d - z
-                ok &= sdf >= -cfg.trunc
-                obs = jnp.minimum(sdf, cfg.trunc) * inv_trunc
-                s = s + jnp.where(ok, obs, 0.0)
-                c = c + ok.astype(jnp.float32)
-                return (s, c)
-
-            s0 = jnp.zeros((TM, cfg.r3), jnp.float32)
-            c0 = jnp.zeros((TM, cfg.r3), jnp.float32)
-            s, c = jax.lax.fori_loop(0, C, frame_body, (s0, c0))
-            slots_safe = jnp.where(slot_ok, slots, cap)
-            sums = sums.at[slots_safe].add(jnp.where(slot_ok[:, None], s, 0.0))
-            cnts = cnts.at[slots_safe].add(jnp.where(slot_ok[:, None], c, 0.0))
-            return (sums, cnts)
-
-        sums0 = jnp.zeros((rows, cfg.r3), jnp.float32)
-        cnts0 = jnp.zeros((rows, cfg.r3), jnp.float32)
-        # Dynamic GROUPED tile loop (see ops/tsdf.py): a data-dependent
-        # while over groups of unrolled tiles; the active list is
-        # front-compacted and identical on every device, so all devices
-        # agree on the trip count.
-        from mq3d_tpu.ops.tsdf import _TILE_GROUP
-
-        group = min(_TILE_GROUP, n_tiles)
-        n_groups_dyn = (n_tiles_dyn + group - 1) // group
-
-        def tile_cond(c):
-            return c[0] < n_groups_dyn
-
-        def tile_step(c):
-            g, acc = c
-            for k in range(group):
-                acc = tile_body(g * group + k, acc)
-            return (g + 1, acc)
-
-        _, (sums, cnts) = jax.lax.while_loop(
-            tile_cond, tile_step, (jnp.int32(0), (sums0, cnts0))
-        )
+        # ---- local integration over the frame shard's pairs -----------------
+        pair_codes, n_pairs = _pairs_from_grid(
+            cfg, frame_touched, wkeys, active_slots < cap, C)
+        sums, cnts = _integrate_pairs(
+            cfg, depth, intrinsics, T_wc, block_coords, active_slots,
+            pair_codes, n_pairs)
 
         # ---- exact cross-device merge ---------------------------------------
-        if partition_state:
-            # reduce_scatter: each device receives the reduced sums for its
-            # own block-row shard and updates only its local voxel rows.
-            sums = jax.lax.psum_scatter(sums, axis, scatter_dimension=0,
-                                        tiled=True)
-            cnts = jax.lax.psum_scatter(cnts, axis, scatter_dimension=0,
-                                        tiled=True)
-            row0 = jax.lax.axis_index(axis) * rows_local
-            global_row = row0 + jnp.arange(rows_local)
-            real = (global_row != cap)[:, None]
-        else:
-            sums = jax.lax.psum(sums, axis)
-            cnts = jax.lax.psum(cnts, axis)
-            real = None
+        # The accumulators are WINDOW-LOCAL (M+1, R^3) — the collective moves
+        # ~200 MB instead of reducing the full 50k-row voxel tables (the
+        # round-4 sharded path psum_scattered 819 MB per step and ran 6x
+        # slower than single-chip at production shape on a mesh of 1).
+        sums = jax.lax.psum(sums, axis)
+        cnts = jax.lax.psum(cnts, axis)
 
-        new_w = state.weight + cnts
-        new_t = jnp.where(
-            cnts > 0, (state.tsdf * state.weight + sums) / jnp.maximum(new_w, 1.0),
-            state.tsdf,
-        )
         if partition_state:
-            new_t = jnp.where(real, new_t, 0.0)  # sentinel row stays zero
-            new_w = jnp.where(real, new_w, 0.0)
+            # Each device folds the window rows it owns into its local
+            # voxel-table shard.
+            row0 = jax.lax.axis_index(axis) * rows_local
+            in_rng = (active_slots >= row0) & (active_slots < row0 + rows_local)
+            valid = in_rng & (active_slots < cap)
+            loc = jnp.where(valid, active_slots - row0, rows_local)
+            loc_safe = jnp.minimum(loc, rows_local - 1)
+            t_old = state.tsdf[loc_safe]
+            w_old = state.weight[loc_safe]
+            s = sums[:M]
+            c = cnts[:M]
+            new_w_rows = w_old + c
+            new_t_rows = jnp.where(
+                c > 0, (t_old * w_old + s) / jnp.maximum(new_w_rows, 1.0),
+                t_old)
+            new_t = state.tsdf.at[loc].set(
+                jnp.where(valid[:, None], new_t_rows, t_old), mode="drop")
+            new_w = state.weight.at[loc].set(
+                jnp.where(valid[:, None], new_w_rows, w_old), mode="drop")
         else:
-            new_t = new_t.at[cap].set(0.0)
-            new_w = new_w.at[cap].set(0.0)
+            new_t, new_w = _merge_window(
+                cfg, state.tsdf, state.weight, active_slots, sums, cnts)
         return TSDFState(
             slot_table, block_coords, new_t, new_w, n_active, overflow,
             dropped_active,

@@ -37,3 +37,24 @@ def cpu_subprocess_env():
     """Env for CLI subprocess tests: force the CPU backend so the test
     never contends for the exclusive single-process TPU tunnel."""
     return {**os.environ, "JAX_PLATFORMS": "cpu", "MQ3D_FORCE_CPU": "1"}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: production-shape case excluded from the default <5 min gate; "
+        "run with MQ3D_FULL_TESTS=1 (or -m slow) for the full tier",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: `pytest -q` is the fast gate; the slow
+    production-shape cases run when MQ3D_FULL_TESTS=1 is set or an explicit
+    -m expression selects them."""
+    if os.environ.get("MQ3D_FULL_TESTS") or config.getoption("-m"):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier (set MQ3D_FULL_TESTS=1 or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
