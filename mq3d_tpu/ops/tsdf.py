@@ -619,6 +619,39 @@ integrate_chunk = partial(
 )(_integrate_chunk_impl)
 
 
+def _integrate_chunks_impl(
+    cfg: TSDFConfig,
+    state: TSDFState,
+    depth: jnp.ndarray,  # (S, C, H, W) float32 metric depth, 0 = invalid
+    intrinsics: jnp.ndarray,  # (S, C, 3, 3) float32
+    extrinsics_wc: jnp.ndarray,  # (S, C, 4, 4) float32 world-to-camera
+    frame_valid: jnp.ndarray,  # (S, C) bool
+) -> TSDFState:
+    """Fuse S chunks of C frames in ONE launch (lax.scan over chunks).
+
+    Bit-identical to S sequential integrate_chunk launches (the scan body
+    IS _integrate_chunk_impl; overflow/dropped_active accumulate in the
+    carried state, so the host-level grow-and-replay wrapper composes
+    unchanged).  Purpose: this image's tunneled runtime charges a fixed
+    per-launch cost of the same order as a whole chunk's work
+    (docs/ROOFLINE_TSDF.md decomposition) — one launch per S chunks
+    divides that fixed cost by S.  Pad the tail with frame_valid=False
+    chunks to keep S static."""
+
+    def body(st, xs):
+        d, K, T, v = xs
+        return _integrate_chunk_impl(cfg, st, d, K, T, v), None
+
+    state, _ = jax.lax.scan(
+        body, state, (depth, intrinsics, extrinsics_wc, frame_valid))
+    return state
+
+
+integrate_chunks = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+)(_integrate_chunks_impl)
+
+
 def _extract_points_impl(
     cfg: TSDFConfig, state: TSDFState, weight_threshold, n_bucket: int,
     max_points: int,

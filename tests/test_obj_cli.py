@@ -98,9 +98,12 @@ class TestSessionCLIs:
 
 
 class TestPipelineCLI:
+    @pytest.mark.slow
     def test_run_full_pipeline_cli(self, tmp_path):
         """End-to-end CLI smoke: session auto-selection + full run on a tiny
-        capture, pipeline_runtime.txt written."""
+        capture, pipeline_runtime.txt written.  Slow tier (~10 min at 1 vCPU:
+        a full CPU-backend pipeline in a subprocess); the verify skill and
+        tests/test_end_to_end.py cover the same surface in the fast tier."""
         import subprocess
         import sys
         import textwrap

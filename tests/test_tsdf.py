@@ -186,6 +186,57 @@ class TestIntegration:
         np.testing.assert_array_equal(w1, w2)
         np.testing.assert_allclose(t1, t2, atol=1e-5)
 
+    def test_scan_fused_equals_sequential_launches(self, scene):
+        """integrate_chunks (S chunks in one launch via lax.scan) must be
+        bit-identical to S sequential integrate_chunk launches, including a
+        frame_valid=False tail pad chunk."""
+        import jax.numpy as jnp
+
+        from mq3d_tpu.ops.tsdf import (
+            create_state, integrate_chunk, integrate_chunks)
+
+        proj_dir, cfg, gt = scene
+        io = DataIO(proj_dir)
+        ds = io.depth.load_depth_dataset(Side.LEFT)
+        ds.transforms = ds.transforms.convert_coordinate_system(
+            CoordinateSystem.OPEN3D, is_camera=True
+        )
+        depth, valid = io.depth.load_depth_stack(Side.LEFT, ds)
+        K = np.asarray(ds.get_render_intrinsic_matrices(), np.float32)
+        T = np.asarray(ds.transforms.extrinsics_wc, np.float32)
+
+        C, S = 4, 4  # 12 frames -> 3 real chunks + 1 invalid pad chunk
+        n = C * (S - 1)
+        dep = np.zeros((S, C) + depth.shape[1:], np.float32)
+        Ks = np.tile(np.eye(3, dtype=np.float32), (S, C, 1, 1))
+        Ts = np.tile(np.eye(4, dtype=np.float32), (S, C, 1, 1))
+        va = np.zeros((S, C), bool)
+        dep.reshape(-1, *depth.shape[1:])[:n] = depth[:n]
+        Ks.reshape(-1, 3, 3)[:n] = K[:n]
+        Ts.reshape(-1, 4, 4)[:n] = T[:n]
+        va.reshape(-1)[:n] = valid[:n]
+
+        st_seq = create_state(CFG)
+        for s in range(S):
+            st_seq = integrate_chunk(
+                CFG, st_seq, jnp.asarray(dep[s]), jnp.asarray(Ks[s]),
+                jnp.asarray(Ts[s]), jnp.asarray(va[s]))
+
+        st_fused = integrate_chunks(
+            CFG, create_state(CFG), jnp.asarray(dep), jnp.asarray(Ks),
+            jnp.asarray(Ts), jnp.asarray(va))
+
+        assert int(st_fused.n_active) == int(st_seq.n_active)
+        assert int(st_fused.overflow) == int(st_seq.overflow)
+        na = int(st_seq.n_active)
+        np.testing.assert_array_equal(
+            np.asarray(st_fused.block_coords[:na]),
+            np.asarray(st_seq.block_coords[:na]))
+        np.testing.assert_array_equal(
+            np.asarray(st_fused.weight[:na]), np.asarray(st_seq.weight[:na]))
+        np.testing.assert_array_equal(
+            np.asarray(st_fused.tsdf[:na]), np.asarray(st_seq.tsdf[:na]))
+
 
 class TestDeviceExtraction:
     def test_device_matches_host_extraction(self, volume):

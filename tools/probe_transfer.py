@@ -97,6 +97,39 @@ def main():
               f"ms/launch, {(n_frames - CH) / dt:.1f} f/s", flush=True)
         return
 
+    if variant.startswith("scan"):
+        # scan<S>: S 20-frame chunks per launch, streamed h2d per launch.
+        # The S-scaling curve separates fixed per-launch cost (amortizes)
+        # from per-byte/per-compute cost (does not).
+        from mq3d_tpu.ops.tsdf import integrate_chunks
+
+        S = int(variant[4:] or 5)
+        per = S * CH
+        state = create_state(cfg)
+
+        def put(s0):
+            sl = slice(s0, s0 + per)
+            return (
+                jnp.asarray(depth[sl]).reshape(S, CH, *depth.shape[1:]),
+                jnp.asarray(K[sl]).reshape(S, CH, 3, 3),
+                jnp.asarray(np.asarray(T_wc[sl], np.float32)).reshape(
+                    S, CH, 4, 4),
+                jnp.asarray(valid[sl]).reshape(S, CH),
+            )
+
+        state = integrate_chunks(cfg, state, *put(0))
+        fetch_int(state.n_active)
+        t0 = time.perf_counter()
+        n_launch = 0
+        for s0 in range(per, (n_frames // per) * per, per):
+            state = integrate_chunks(cfg, state, *put(s0))
+            n_launch += 1
+        fetch_int(state.n_active)
+        dt = time.perf_counter() - t0
+        print(f"scan S={S}: {dt:.3f}s, {dt / n_launch * 1e3:.1f} ms/launch, "
+              f"{n_launch * per / dt:.1f} f/s", flush=True)
+        return
+
     raise SystemExit(f"unknown variant {variant}")
 
 
