@@ -69,8 +69,15 @@ def main():
     n_frames = 1000
 
     if variant == "devres":
+        # Stage in <=32 MB slices: a single 370 MB device_put WEDGES the
+        # tunnel (observed 2026-08-20; the h2d curve tops out at 67 MB).
         t0 = time.perf_counter()
-        d_dev = jax.device_put(depth[:n_frames])
+        n_slice = max(1, (32 << 20) // depth[0].nbytes)
+        parts = [
+            jax.device_put(depth[s:s + n_slice])
+            for s in range(0, n_frames, n_slice)
+        ]
+        d_dev = jnp.concatenate(parts)
         K_dev = jax.device_put(K[:n_frames])
         T_dev = jax.device_put(np.asarray(T_wc[:n_frames], np.float32))
         v_dev = jax.device_put(valid[:n_frames])
