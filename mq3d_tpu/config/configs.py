@@ -154,6 +154,9 @@ class IntegrationConfig:
     trunc_voxel_multiplier: float = 8.0
     # TPU-only knobs (no reference counterpart):
     frames_per_batch: int = 64  # frames fused per device launch
+    # Chunks scan-fused into one launch (recon/integrate.py
+    # integrate_multi): amortizes the tunnel's fixed per-launch cost.
+    chunks_per_launch: int = 4
     grid_dim: int = 160  # dense slot-table extent (blocks/axis)
     chunk_active_capacity: int = 12_288  # max blocks touched per chunk
     integrate_tile: int = 512  # blocks per integration tile

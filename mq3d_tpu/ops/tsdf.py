@@ -1271,6 +1271,26 @@ class TSDFVolume:
         self._dropped_host = d_before
         return self
 
+    def integrate_scan(self, depth, intrinsics, extrinsics_wc, frame_valid):
+        """Fuse an (S, C, H, W) group of S chunks in ONE launch
+        (integrate_chunks lax.scan) — bit-identical to S integrate() calls
+        when no chunk exceeds chunk_active_capacity.
+
+        NO auto-split: capacity drops surface in state.dropped_active; the
+        caller checks it once per batch and replays per-chunk with
+        integrate() if needed (recon/integrate.py).  This trades the
+        per-chunk scalar-fetch sync (a full tunnel RTT each) plus S-1
+        launches' fixed cost for one deferred check."""
+        self.state = integrate_chunks(
+            self.cfg, self.state,
+            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32),
+            jnp.asarray(extrinsics_wc, jnp.float32),
+            jnp.asarray(frame_valid),
+        )
+        self._dropped_host = None  # unknown until the caller's batch check
+        return self
+
     @property
     def n_active(self) -> int:
         return fetch_int(self.state.n_active)

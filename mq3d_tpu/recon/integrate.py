@@ -361,52 +361,100 @@ def integrate_multi(
     seq = [(s, i) for s in sides for i in range(len(dataset_map[s]))]
     n = len(seq)
     chunk = max(1, int(getattr(config, "frames_per_batch", 16)))
+    scan = max(1, int(getattr(config, "chunks_per_launch", 4)))
 
-    def run_all(v: TSDFVolume) -> None:
+    def load_chunk(part):
+        """One padded (chunk, H, W) stack + (chunk,) valid + K/T arrays."""
+        stacks, valids, Kc, Tc = [], [], [], []
+        j = 0
+        while j < len(part):
+            s = part[j][0]
+            k = j
+            while k < len(part) and part[k][0] == s:
+                k += 1
+            idx = np.asarray([i for _, i in part[j:k]])
+            st, va = load_filtered_depth_stack(
+                depth_data_io, s, dataset_map[s], idx,
+                config.use_confidence_filtered_depth,
+                config.confidence_threshold,
+                config.valid_count_threshold,
+            )
+            stacks.append(st)
+            valids.append(va)
+            Kc.append(Ks[s][idx])
+            Tc.append(Ts[s][idx])
+            j = k
+        stack = np.concatenate(stacks)
+        valid = np.concatenate(valids)
+        Kb = np.concatenate(Kc)
+        Tb = np.concatenate(Tc)
+        if len(part) < chunk:  # pad the tail to the static chunk size
+            pad = chunk - len(part)
+            stack = np.concatenate(
+                [stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+            Kb = np.concatenate(
+                [Kb, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+            Tb = np.concatenate(
+                [Tb, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+        return stack, Kb, Tb, valid
+
+    def run_chunked(v: TSDFVolume) -> None:
+        """Per-chunk launches with auto-split — the exact-capacity path."""
         import jax
 
         iterator = tqdm(
             range(0, n, chunk), desc=desc, disable=not show_progress
         )
         for c0 in iterator:
-            part = seq[c0:c0 + chunk]
-            stacks, valids, Kc, Tc = [], [], [], []
-            j = 0
-            while j < len(part):
-                s = part[j][0]
-                k = j
-                while k < len(part) and part[k][0] == s:
-                    k += 1
-                idx = np.asarray([i for _, i in part[j:k]])
-                st, va = load_filtered_depth_stack(
-                    depth_data_io, s, dataset_map[s], idx,
-                    config.use_confidence_filtered_depth,
-                    config.confidence_threshold,
-                    config.valid_count_threshold,
-                )
-                stacks.append(st)
-                valids.append(va)
-                Kc.append(Ks[s][idx])
-                Tc.append(Ts[s][idx])
-                j = k
-            stack = np.concatenate(stacks)
-            valid = np.concatenate(valids)
-            Kb = np.concatenate(Kc)
-            Tb = np.concatenate(Tc)
-            if len(part) < chunk:  # pad the tail to the static chunk size
-                pad = chunk - len(part)
-                stack = np.concatenate(
-                    [stack, np.zeros((pad,) + stack.shape[1:], np.float32)])
-                valid = np.concatenate([valid, np.zeros(pad, bool)])
-                Kb = np.concatenate(
-                    [Kb, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
-                Tb = np.concatenate(
-                    [Tb, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+            stack, Kb, Tb, valid = load_chunk(seq[c0:c0 + chunk])
             if not valid.any():
                 continue
             v.integrate(stack, Kb, Tb, valid)
             # Per-chunk barrier: see integrate().
             jax.block_until_ready(v.state.tsdf)
+
+    def run_all(v: TSDFVolume) -> None:
+        """Scan-fused: one launch per `scan` chunks, one deferred
+        capacity check per batch; per-chunk replay if a chunk's touched
+        set exceeded chunk_active_capacity (rare — warns + replays only
+        when the volume was empty at entry, like pool growth)."""
+        if scan <= 1 or not _volume_is_empty(v):
+            run_chunked(v)
+            return
+        d_before = fetch_int(v.state.dropped_active)
+        per = chunk * scan
+        iterator = tqdm(
+            range(0, n, per), desc=desc, disable=not show_progress
+        )
+        for g0 in iterator:
+            groups = [
+                load_chunk(seq[c0:c0 + chunk])
+                for c0 in range(g0, min(g0 + per, n), chunk)
+            ]
+            while len(groups) < scan:  # pad tail group: all-invalid chunk
+                z = groups[0]
+                groups.append((
+                    np.zeros_like(z[0]),
+                    np.tile(np.eye(3, dtype=np.float32), (chunk, 1, 1)),
+                    np.tile(np.eye(4, dtype=np.float32), (chunk, 1, 1)),
+                    np.zeros(chunk, bool),
+                ))
+            v.integrate_scan(
+                np.stack([g[0] for g in groups]),
+                np.stack([g[1] for g in groups]),
+                np.stack([g[2] for g in groups]),
+                np.stack([g[3] for g in groups]),
+            )
+        if fetch_int(v.state.dropped_active) != d_before:
+            print(
+                "[Info] chunk_active_capacity exceeded inside a scan-fused "
+                "integrate batch; replaying per-chunk with window splits"
+            )
+            v.state = create_state(v.cfg)
+            run_chunked(v)
+
+    from mq3d_tpu.ops.tsdf import create_state
 
     _integrate_with_growth(vol, run_all, entry_empty=_volume_is_empty(vol))
     return vol

@@ -614,6 +614,63 @@ class TestIntegrateMulti:
         t2 = np.asarray(seq.state.tsdf[: seq.n_active])[k2]
         np.testing.assert_allclose(t1, t2, atol=1e-5)
 
+    def test_scan_capacity_drop_replays_per_chunk(self, scene, capsys):
+        """A chunk whose touched set exceeds chunk_active_capacity inside a
+        scan-fused batch must be detected by the deferred check and the
+        batch replayed per-chunk with window splits — matching the windowed
+        sequential path exactly."""
+        from types import SimpleNamespace
+
+        from mq3d_tpu.recon.integrate import integrate, integrate_multi
+
+        proj_dir, cfg, gt = scene
+        io = DataIO(proj_dir)
+        datasets = {}
+        for side in Side:
+            ds = io.depth.load_depth_dataset(side, use_cache=False)
+            ds.transforms = ds.transforms.convert_coordinate_system(
+                CoordinateSystem.OPEN3D, is_camera=True
+            )
+            datasets[side] = ds
+
+        kw = dict(
+            voxel_size=CFG.voxel_size,
+            block_resolution=CFG.block_resolution,
+            block_count=CFG.block_count,
+            depth_max=CFG.depth_max,
+            trunc_voxel_multiplier=CFG.trunc_voxel_multiplier,
+            alloc_pixel_stride=CFG.alloc_pixel_stride,
+            grid_dim=CFG.grid_dim,
+            chunk_active_capacity=16,  # far below the scene's touch sets
+            integrate_tile=16,
+            use_confidence_filtered_depth=False,
+            confidence_threshold=0.0,
+            valid_count_threshold=0,
+            frames_per_batch=5,
+        )
+        fused = integrate_multi(
+            dataset_map=datasets, depth_data_io=io.depth,
+            config=SimpleNamespace(**kw))
+        assert "replaying per-chunk" in capsys.readouterr().out
+        seq = None
+        for side in Side:
+            seq = integrate(
+                dataset=datasets[side], depth_data_io=io.depth, side=side,
+                config=SimpleNamespace(**kw), vbg_opt=seq,
+            )
+        assert fused.n_active == seq.n_active
+        c1 = np.asarray(fused.state.block_coords[: fused.n_active])
+        c2 = np.asarray(seq.state.block_coords[: seq.n_active])
+        k1 = np.lexsort(c1.T)
+        k2 = np.lexsort(c2.T)
+        np.testing.assert_array_equal(c1[k1], c2[k2])
+        np.testing.assert_array_equal(
+            np.asarray(fused.state.weight[: fused.n_active])[k1],
+            np.asarray(seq.state.weight[: seq.n_active])[k2])
+        np.testing.assert_allclose(
+            np.asarray(fused.state.tsdf[: fused.n_active])[k1],
+            np.asarray(seq.state.tsdf[: seq.n_active])[k2], atol=1e-5)
+
 
 class TestIntegrateExtractSmall:
     """One-launch fused init+integrate+extract vs the standard multi-launch
