@@ -187,45 +187,41 @@ def bench_integrate_devres(cfg_t, depth, K, T_wc, valid, scan=5):
     from mq3d_tpu.ops.tsdf import create_state, integrate_chunks
     from mq3d_tpu.utils.host import fetch_float, fetch_int
 
-    t0 = time.perf_counter()
-    n_slice = max(1, (32 << 20) // depth[0].nbytes)
-    d_dev = jnp.concatenate([
-        jax.device_put(depth[s:s + n_slice])
-        for s in range(0, N_FRAMES, n_slice)
-    ])
-    K_dev = jax.device_put(np.ascontiguousarray(K[:N_FRAMES]))
-    T_dev = jax.device_put(np.ascontiguousarray(
-        np.asarray(T_wc[:N_FRAMES], np.float32)))
-    v_dev = jax.device_put(np.ascontiguousarray(valid[:N_FRAMES]))
-    fetch_float(d_dev[-1, -1, -1])
-    stage_s = time.perf_counter() - t0
-    staged_mb = depth[:N_FRAMES].nbytes / 1e6
-
+    # Stage per-launch (scan, CHUNK, H, W) groups: a single 370 MB
+    # device_put or a device concat into 370 MB both wedge the tunnel
+    # (observed 2026-08-20); the 37 MB group transfers are safe.
     per = scan * CHUNK
     sh = depth.shape[1:]
-
-    def args(s0):
-        sl = slice(s0, s0 + per)
-        return (
-            d_dev[sl].reshape(scan, CHUNK, *sh),
-            K_dev[sl].reshape(scan, CHUNK, 3, 3),
-            T_dev[sl].reshape(scan, CHUNK, 4, 4),
-            v_dev[sl].reshape(scan, CHUNK),
-        )
+    n_groups = N_FRAMES // per
+    t0 = time.perf_counter()
+    groups = []
+    for g in range(n_groups):
+        sl = slice(g * per, (g + 1) * per)
+        groups.append((
+            jax.device_put(depth[sl].reshape(scan, CHUNK, *sh)),
+            jax.device_put(
+                np.ascontiguousarray(K[sl]).reshape(scan, CHUNK, 3, 3)),
+            jax.device_put(np.ascontiguousarray(
+                np.asarray(T_wc[sl], np.float32)).reshape(scan, CHUNK, 4, 4)),
+            jax.device_put(valid[sl].reshape(scan, CHUNK)),
+        ))
+        fetch_float(groups[-1][0][-1, -1, -1, -1])
+    stage_s = time.perf_counter() - t0
+    staged_mb = depth[:n_groups * per].nbytes / 1e6
 
     best = 0.0
     for _ in range(2):
         state = create_state(cfg_t)
-        state = integrate_chunks(cfg_t, state, *args(0))
+        state = integrate_chunks(cfg_t, state, *groups[0])
         fetch_int(state.n_active)
         t0 = time.perf_counter()
         n = 0
-        for s0 in range(per, (N_FRAMES // per) * per, per):
-            state = integrate_chunks(cfg_t, state, *args(s0))
+        for g in groups[1:]:
+            state = integrate_chunks(cfg_t, state, *g)
             n += per
         fetch_int(state.n_active)
         best = max(best, n / (time.perf_counter() - t0))
-    del d_dev, K_dev, T_dev, v_dev
+    del groups
     return best, stage_s, staged_mb
 
 
@@ -302,7 +298,15 @@ def bench_raycast(cfg_t, state, gt, scene_cfg):
     for d in raycast_in_color_view(vol, make_ds(n_stream)):
         d.ravel()[0]  # touch on host, like the npy save would
     stream_ms = float((time.perf_counter() - t0) / n_stream * 1e3)
-    return device_ms, stream_ms
+
+    # Same stream with uint16 fixed-point readback (halves the bytes on
+    # the bandwidth-bound tunnel; maps dequantize to f32 on host —
+    # quantization step 0.061 mm at depth_max 4 m).
+    t0 = time.perf_counter()
+    for d in raycast_in_color_view(vol, make_ds(n_stream), transfer_u16=True):
+        d.ravel()[0]
+    stream_u16_ms = float((time.perf_counter() - t0) / n_stream * 1e3)
+    return device_ms, stream_ms, stream_u16_ms
 
 
 def bench_sharded_prod(cfg_t, depth, K, T_wc, valid, n_steps=10):
@@ -436,9 +440,11 @@ def main():
     print(f"[bench] integrate (device-resident) {fps_dev:.0f} f/s "
           f"(staged {staged_mb:.0f} MB in {stage_s:.1f} s)",
           file=sys.stderr, flush=True)
-    raycast_ms, stream_ms = bench_raycast(cfg_t, state, gt, scene_cfg)
+    raycast_ms, stream_ms, stream_u16_ms = bench_raycast(
+        cfg_t, state, gt, scene_cfg)
     print(f"[bench] raycast {raycast_ms:.0f} ms/frame device, "
-          f"{stream_ms:.0f} ms/frame streamed", file=sys.stderr, flush=True)
+          f"{stream_ms:.0f} ms/frame streamed f32, "
+          f"{stream_u16_ms:.0f} u16", file=sys.stderr, flush=True)
     del state  # free the 1.6 GB single-chip volume before the sharded state
     sharded_fps = bench_sharded_prod(cfg_t, depth, K, T_wc, valid)
     print(f"[bench] sharded prod integrate {sharded_fps:.0f} f/s",
@@ -468,6 +474,7 @@ def main():
             "raycast_vs_legacy_budget": round(
                 LEGACY_RAYCAST_BUDGET_MS / raycast_ms, 2),
             "raycast_stream_ms_per_frame": round(stream_ms, 1),
+            "raycast_stream_u16_ms_per_frame": round(stream_u16_ms, 1),
             "sharded_prod_frames_per_sec": round(sharded_fps, 1),
             "e2e_pipeline_seconds": round(e2e_s, 1),
         },

@@ -182,6 +182,11 @@ class ColorAlignedDepthRenderingConfig:
     only_use_optimized_dataset: bool = True
     frames_per_batch: int = 16  # TPU: frames fused per render launch (the
     #   march's serial gather rounds amortize across the frame batch)
+    # Read depth maps back as uint16 fixed point (step depth_max*1.5/65534,
+    # 0.061 mm at 4 m — ~2.7x below the renderer's median error) instead of
+    # float32: halves readback bytes on a bandwidth-bound transport.
+    # Artifacts are still written float32.
+    transfer_u16: bool = False
 
 
 @dataclass

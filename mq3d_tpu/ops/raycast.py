@@ -884,7 +884,23 @@ def raycast_depth(
     )[0]
 
 
-def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8):
+@partial(jax.jit, static_argnames=())
+def _quantize_u16(z, scale):
+    """Depth -> uint16 fixed point on device: round(z*scale), miss (inf
+    or beyond range) -> 0."""
+    q = jnp.round(z * scale)
+    ok = jnp.isfinite(z) & (q >= 1.0) & (q <= 65535.0)
+    return jnp.where(ok, q, 0.0).astype(jnp.uint16)
+
+
+def _dequantize_u16_host(q: np.ndarray, scale: float) -> np.ndarray:
+    out = q.astype(np.float32) / np.float32(scale)
+    out[q == 0] = np.inf
+    return out
+
+
+def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8,
+                          transfer_u16: bool = False):
     """Generator over per-frame z-depth maps for a camera dataset, matching
     the reference surface (o3d_utils.py:324-341).  Dataset transforms must be
     in the OPEN3D camera frame.  Frames render `frames_per_batch` per device
@@ -892,7 +908,14 @@ def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8
     before the previous batch is copied to host — JAX dispatch is async, so
     the device computes batch i+1 while the host drains batch i (readback
     and compute are comparable under a tunneled chip; overlapping them
-    roughly halves steady-state cost).  Frames are yielded one by one."""
+    roughly halves steady-state cost).  Frames are yielded one by one.
+
+    transfer_u16: quantize depth to uint16 fixed point ON DEVICE and
+    dequantize to float32 after readback — halves the bytes on a
+    bandwidth-bound transport (this image's relay streams ~14-38 MB/s; a
+    1280x960 f32 map is 4.9 MB).  Quantization step is t_max/65534
+    (0.061 mm at 4 m), ~2.7x below the renderer's 0.165 mm median error;
+    misses (inf) encode as 0.  Yielded maps are float32 either way."""
     K = dataset.get_render_intrinsic_matrices()
     T_wc = dataset.transforms.extrinsics_wc
     n = len(dataset)
@@ -913,6 +936,9 @@ def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8
             yield i, j
             i = j
 
+    t_max_q = float(volume.cfg.depth_max) * 1.5
+    q_scale = 65534.0 / t_max_q
+
     def dispatch(i, j):
         z, overflow = _render_frames_device(
             volume,
@@ -921,6 +947,8 @@ def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8
             int(widths[i]),
             int(heights[i]),
         )
+        if transfer_u16:
+            z = _quantize_u16(z, q_scale)
         # One whole-batch copy: measured against per-frame slice drains and
         # per-frame split program outputs on the tunneled transport, the
         # single copy is as fast or faster once the per-program-switch
@@ -932,6 +960,8 @@ def raycast_in_color_view(volume: TSDFVolume, dataset, frames_per_batch: int = 8
     def drain(batch_z, overflow):
         _warn_overflow(overflow)
         batch = np.asarray(batch_z)
+        if transfer_u16:
+            batch = _dequantize_u16_host(batch, q_scale)
         for k in range(batch.shape[0]):
             yield batch[k]
 

@@ -215,7 +215,10 @@ def reconstruct_scene(data_io: DataIO, config: ReconstructionConfig):
             it = raycast_in_color_view(
                 volume=vbg, dataset=dataset,
                 frames_per_batch=config.color_aligned_depth_rendering
-                .frames_per_batch)
+                .frames_per_batch,
+                transfer_u16=bool(getattr(
+                    config.color_aligned_depth_rendering,
+                    "transfer_u16", False)))
             for i in tqdm(range(len(dataset)), desc=desc):
                 depth_map = next(it)
                 data_io.rgbd.save_color_aligned_depth(

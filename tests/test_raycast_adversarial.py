@@ -197,3 +197,56 @@ class TestGrazingIncidence:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestU16Stream:
+    """uint16 fixed-point readback (ops/raycast.py raycast_in_color_view
+    transfer_u16): halves bytes on the bandwidth-bound tunnel; maps must
+    dequantize to f32 within the 0.061 mm quantization step and preserve
+    the miss mask exactly."""
+
+    def test_generator_u16_matches_f32(self):
+        from mq3d_tpu.geometry import quaternion as quat
+        from mq3d_tpu.geometry.coordinates import CoordinateSystem
+        from mq3d_tpu.models.datasets import CameraDataset
+        from mq3d_tpu.models.transforms import Transforms
+        from mq3d_tpu.ops.raycast import raycast_in_color_view
+
+        wall = ([0, 0, 3.0], [0, 0, -1.0], None)
+        poses = [
+            _lookat_T_wc((x, y, 0.0), (0, 0, 3.0))
+            for x in (-0.2, 0.0, 0.2) for y in (-0.15, 0.15)
+        ]
+        vol = _integrate([wall], poses)
+
+        views = [
+            _lookat_T_wc((x, 0.01, 0.0), (0, 0, 3.0))
+            for x in (-0.05, 0.0, 0.05)
+        ]
+        T_cw = np.linalg.inv(np.stack(views))
+        n = len(views)
+        ones = np.ones(n)
+        ds = CameraDataset(
+            directory_relative_path="t",
+            image_file_names=np.array([f"{i}.png" for i in range(n)]),
+            timestamps=np.arange(n, dtype=np.int64),
+            fx=FX * ones, fy=FY * ones,
+            cx=K[0, 2] * ones, cy=K[1, 2] * ones,
+            transforms=Transforms(
+                coordinate_system=CoordinateSystem.OPEN3D,
+                positions=T_cw[:, :3, 3].astype(np.float32),
+                rotations=quat.from_matrix(T_cw[:, :3, :3]),
+            ),
+            widths=np.full(n, W, np.int64),
+            heights=np.full(n, H, np.int64),
+        )
+        f32 = list(raycast_in_color_view(vol, ds, frames_per_batch=2))
+        u16 = list(raycast_in_color_view(
+            vol, ds, frames_per_batch=2, transfer_u16=True))
+        assert len(f32) == len(u16) == n
+        step = vol.cfg.depth_max * 1.5 / 65534.0
+        for a, b in zip(f32, u16):
+            assert b.dtype == np.float32
+            np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+            m = np.isfinite(a)
+            assert np.abs(a[m] - b[m]).max() <= step * 0.5 + 1e-6

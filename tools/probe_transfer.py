@@ -68,40 +68,44 @@ def main():
     CH = 20
     n_frames = 1000
 
-    if variant == "devres":
-        # Stage in <=32 MB slices: a single 370 MB device_put WEDGES the
-        # tunnel (observed 2026-08-20; the h2d curve tops out at 67 MB).
+    if variant.startswith("devres"):
+        # devres[S]: stage per-launch (S, CH, H, W) groups directly -- a
+        # single 370 MB device_put OR a device concat into 370 MB both
+        # WEDGE the tunnel (observed 2026-08-20 twice); per-group 37 MB
+        # transfers are proven safe (scan5 streams them).
+        from mq3d_tpu.ops.tsdf import integrate_chunks
+
+        S = int(variant[6:] or 5)
+        per = S * CH
+        n_groups = n_frames // per
         t0 = time.perf_counter()
-        n_slice = max(1, (32 << 20) // depth[0].nbytes)
-        parts = [
-            jax.device_put(depth[s:s + n_slice])
-            for s in range(0, n_frames, n_slice)
-        ]
-        d_dev = jnp.concatenate(parts)
-        K_dev = jax.device_put(K[:n_frames])
-        T_dev = jax.device_put(np.asarray(T_wc[:n_frames], np.float32))
-        v_dev = jax.device_put(valid[:n_frames])
-        fetch_float(d_dev[-1, -1, -1])
+        groups = []
+        for g in range(n_groups):
+            sl = slice(g * per, (g + 1) * per)
+            groups.append((
+                jax.device_put(depth[sl].reshape(S, CH, *depth.shape[1:])),
+                jax.device_put(K[sl].reshape(S, CH, 3, 3)),
+                jax.device_put(np.asarray(
+                    T_wc[sl], np.float32).reshape(S, CH, 4, 4)),
+                jax.device_put(valid[sl].reshape(S, CH)),
+            ))
+            fetch_float(groups[-1][0][-1, -1, -1, -1])
         stage_s = time.perf_counter() - t0
-        mb = depth[:n_frames].nbytes / 1e6
+        mb = depth[:n_groups * per].nbytes / 1e6
         print(f"staging {mb:.0f} MB: {stage_s:.2f} s "
               f"({mb / stage_s:.1f} MB/s)", flush=True)
 
         state = create_state(cfg)
-        state = integrate_chunk(
-            cfg, state, d_dev[:CH], K_dev[:CH], T_dev[:CH], v_dev[:CH])
+        state = integrate_chunks(cfg, state, *groups[0])
         fetch_int(state.n_active)
         t0 = time.perf_counter()
-        n_launch = 0
-        for s in range(CH, n_frames, CH):
-            state = integrate_chunk(
-                cfg, state, d_dev[s:s + CH], K_dev[s:s + CH],
-                T_dev[s:s + CH], v_dev[s:s + CH])
-            n_launch += 1
+        for g in groups[1:]:
+            state = integrate_chunks(cfg, state, *g)
         fetch_int(state.n_active)
         dt = time.perf_counter() - t0
-        print(f"devres integrate: {dt:.3f}s, {dt / n_launch * 1e3:.1f} "
-              f"ms/launch, {(n_frames - CH) / dt:.1f} f/s", flush=True)
+        n_launch = n_groups - 1
+        print(f"devres S={S}: {dt:.3f}s, {dt / n_launch * 1e3:.1f} "
+              f"ms/launch, {n_launch * per / dt:.1f} f/s", flush=True)
         return
 
     if variant.startswith("scan"):
