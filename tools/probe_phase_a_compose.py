@@ -2,12 +2,19 @@
 """Bisect the composed phase-A cost: time progressively longer prefixes of
 the real _integrate_chunk_impl pipeline on the real bench chunk."""
 
+import faulthandler
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# Self-deadline: NEVER kill this probe externally — a killed client wedges
+# the tunnel for tens of minutes (TODO.md).  faulthandler exits the process
+# cleanly, releasing the chip.
+faulthandler.dump_traceback_later(int(sys.argv[1]) if len(sys.argv) > 1 else 480,
+                                  exit=True)
 
 import bench  # noqa: E402
 
