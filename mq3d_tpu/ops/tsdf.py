@@ -652,6 +652,34 @@ integrate_chunks = partial(
 )(_integrate_chunks_impl)
 
 
+def quantize_depth_u16(depth: np.ndarray, depth_max: float):
+    """Host-side uint16 fixed-point encoding for bandwidth-bound streaming:
+    scale = 65534/depth_max (0.061 mm step at 4 m, ~160x below a 1 cm
+    voxel).  0 stays the invalid code; valid depths clamp to [1, 65535].
+    Returns (quantized uint16 array, scale)."""
+    scale = 65534.0 / float(depth_max)
+    q = np.rint(np.asarray(depth, np.float32) * scale)
+    q = np.where(np.asarray(depth) > 0, np.clip(q, 1, 65535), 0)
+    return q.astype(np.uint16), scale
+
+
+def _integrate_chunks_u16_impl(cfg, state, depth_q, scale, intrinsics,
+                               extrinsics_wc, frame_valid):
+    """integrate_chunks with uint16 fixed-point depth, dequantized ON
+    DEVICE — the (S, C, H, W) stream ships at half the f32 bytes.
+    Bit-identical to integrate_chunks fed the dequantized f32 stack (the
+    dequant is the same fp32 multiply either way); vs the unquantized
+    original the depth differs by <= half the quantization step."""
+    depth = depth_q.astype(jnp.float32) * (1.0 / scale)
+    return _integrate_chunks_impl(
+        cfg, state, depth, intrinsics, extrinsics_wc, frame_valid)
+
+
+integrate_chunks_u16 = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+)(_integrate_chunks_u16_impl)
+
+
 def _extract_points_impl(
     cfg: TSDFConfig, state: TSDFState, weight_threshold, n_bucket: int,
     max_points: int,

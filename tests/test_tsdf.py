@@ -939,3 +939,56 @@ def test_autosplit_pool_overflow_counted_once():
     o_ref = int(np.asarray(ref.state.overflow))
     assert o_ref > 0  # the pool genuinely saturated
     assert int(np.asarray(small.state.overflow)) == o_ref
+
+
+class TestU16DepthStream:
+    """uint16 fixed-point depth streaming (ops/tsdf.py integrate_chunks_u16):
+    in-kernel dequantization must be bit-identical to feeding the
+    host-dequantized f32 stack through integrate_chunks."""
+
+    def test_u16_matches_dequantized_f32(self, scene):
+        import jax.numpy as jnp
+
+        from mq3d_tpu.ops.tsdf import (
+            create_state, integrate_chunks, integrate_chunks_u16,
+            quantize_depth_u16)
+
+        proj_dir, cfg, gt = scene
+        io = DataIO(proj_dir)
+        ds = io.depth.load_depth_dataset(Side.LEFT)
+        ds.transforms = ds.transforms.convert_coordinate_system(
+            CoordinateSystem.OPEN3D, is_camera=True
+        )
+        depth, valid = io.depth.load_depth_stack(Side.LEFT, ds)
+        K = np.asarray(ds.get_render_intrinsic_matrices(), np.float32)
+        T = np.asarray(ds.transforms.extrinsics_wc, np.float32)
+
+        S, C = 3, 4
+        n = S * C
+        dep = depth[:n].reshape(S, C, *depth.shape[1:])
+        Ks = K[:n].reshape(S, C, 3, 3)
+        Ts = T[:n].reshape(S, C, 4, 4)
+        va = valid[:n].reshape(S, C)
+
+        dq, scale = quantize_depth_u16(dep, CFG.depth_max)
+        # Host dequant mirror of the in-kernel expression.
+        dep_f = dq.astype(np.float32) * np.float32(1.0 / np.float32(scale))
+
+        st_q = integrate_chunks_u16(
+            CFG, create_state(CFG), jnp.asarray(dq), jnp.float32(scale),
+            jnp.asarray(Ks), jnp.asarray(Ts), jnp.asarray(va))
+        st_f = integrate_chunks(
+            CFG, create_state(CFG), jnp.asarray(dep_f), jnp.asarray(Ks),
+            jnp.asarray(Ts), jnp.asarray(va))
+
+        na = int(st_f.n_active)
+        assert int(st_q.n_active) == na
+        np.testing.assert_array_equal(
+            np.asarray(st_q.tsdf[:na]), np.asarray(st_f.tsdf[:na]))
+        np.testing.assert_array_equal(
+            np.asarray(st_q.weight[:na]), np.asarray(st_f.weight[:na]))
+        # And the quantization itself stays within half a step of the
+        # original metric depth.
+        step = CFG.depth_max / 65534.0
+        m = dep > 0
+        assert np.abs(dep_f[m] - dep[m]).max() <= step * 0.5 + 1e-6
