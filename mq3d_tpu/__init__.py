@@ -35,9 +35,24 @@ if _os.environ.get("MQ3D_FORCE_CPU"):
 # (TSDF integrate, batched raycast) cost minutes on this host; cached
 # executables load in seconds on every later run.  Verified effective on
 # the axon TPU backend (bench e2e 187 s -> 66 s on the second run).
+#
+# The cache directory ships WITH the repo (.jax_cache/, committed): a fresh
+# container starts with ~/.cache/jax empty, so without shipped entries every
+# fresh-process pipeline run pays minutes of cold XLA compiles.  Warmed
+# entries for the bench-config executables are committed so first runs load
+# them (same image -> same cache keys).  Falls back to ~/.cache/jax when the
+# repo checkout is read-only.
 if not _os.environ.get("MQ3D_NO_COMPILE_CACHE"):
-    _jax.config.update(
-        "jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax"))
+    _cache_dir = _os.environ.get("MQ3D_COMPILE_CACHE_DIR")
+    if not _cache_dir:
+        _repo_cache = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".jax_cache")
+        _cache_dir = (
+            _repo_cache
+            if _os.path.isdir(_repo_cache) and _os.access(_repo_cache, _os.W_OK)
+            else _os.path.expanduser("~/.cache/jax"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -13,8 +13,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: XLA compiles are expensive on this host;
-# cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+# cache them across test runs.  Use the repo-shipped cache (.jax_cache/,
+# committed) when writable so fresh containers start warm — same dir
+# mq3d_tpu/__init__.py selects; keep in sync with it.
+_repo_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _repo_cache if os.path.isdir(_repo_cache) and os.access(_repo_cache, os.W_OK)
+    else "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 flags = os.environ.get("XLA_FLAGS", "")
