@@ -64,7 +64,7 @@ class TSDFConfig:
     # tools/probe_onehot_ps.py).  "flat" keeps the gather (fast on CPU,
     # where dense one-hot matmuls would be ~100x slower).  "auto" picks by
     # backend at trace time.
-    depth_lookup: str = "auto"  # "auto" | "onehot" | "flat"
+    depth_lookup: str = "auto"  # "auto" | "pallas" | "onehot" | "flat"
     onehot_patch: int = 64  # patch size; per-(tile,frame) cond falls back to
     #   the flat gather when any block's projected bbox exceeds it
 
@@ -312,15 +312,29 @@ def _alloc_and_window(cfg: TSDFConfig, state: TSDFState, touched, block_skip):
 
     # Coords of new blocks: invert the monotone rank cumsum with a
     # vectorized bisection (first index with rank >= q) instead of
-    # scattering all G^3 rows.
-    qn = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    key_of_new = jnp.searchsorted(ranks, qn).astype(jnp.int32)
-    slot_of_new = state.n_active + qn - 1
-    ok_new = (qn <= total_new) & (slot_of_new < cap)
-    coords_new = _keys_to_coords(jnp.minimum(key_of_new, G ** 3 - 1), G)
-    block_coords = state.block_coords.at[
-        jnp.where(ok_new, slot_of_new, cap)
-    ].set(jnp.where(ok_new[:, None], coords_new, 0), mode="drop")
+    # scattering all G^3 rows.  The common case bounds the query window by
+    # M (a chunk rarely discovers more than the window capacity of new
+    # blocks; each bisection step gathers one element per query, so cap
+    # queries cost ~4x — probe_phase_a2 allocM: 23 -> 9 ms marginal); the
+    # rare >M chunk takes the full-cap branch of the cond.
+    def new_coords(nq: int):
+        qn = jnp.arange(1, nq + 1, dtype=jnp.int32)
+        key_of_new = jnp.searchsorted(ranks, qn).astype(jnp.int32)
+        slot_of_new = state.n_active + qn - 1
+        ok_new = (qn <= total_new) & (slot_of_new < cap)
+        coords_new = _keys_to_coords(jnp.minimum(key_of_new, G ** 3 - 1), G)
+        return state.block_coords.at[
+            jnp.where(ok_new, slot_of_new, cap)
+        ].set(jnp.where(ok_new[:, None], coords_new, 0), mode="drop")
+
+    if M < cap:
+        block_coords = jax.lax.cond(
+            total_new <= M,
+            lambda _: new_coords(M),
+            lambda _: new_coords(cap),
+            0)
+    else:
+        block_coords = new_coords(cap)
 
     n_active = jnp.minimum(state.n_active + total_new, cap)
     overflow = state.overflow + jnp.maximum(state.n_active + total_new - cap, 0)
@@ -398,11 +412,15 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
     # Depth-lookup form (see TSDFConfig.depth_lookup).  Trace-time choice:
     # cfg is static and jit caches per backend, so "auto" resolves here.
     PS = cfg.onehot_patch
-    use_onehot = cfg.depth_lookup == "onehot" or (
-        cfg.depth_lookup == "auto" and jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = cfg.depth_lookup == "pallas"
+    use_onehot = use_pallas or cfg.depth_lookup == "onehot" or (
+        cfg.depth_lookup == "auto" and on_tpu
     )
     if min(H, W) < PS:  # image smaller than a patch: gather is fine
-        use_onehot = False
+        use_onehot = use_pallas = False
+    if TP % 8 or cfg.r3 % 128:  # kernel block constraints (tsdf_pallas)
+        use_pallas = False
 
     n_tiles_dyn = (n_pairs + TP - 1) // TP
 
@@ -419,11 +437,24 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
         p = ((bc * R)[:, None, :] + voxel_offs[None, :, :]).astype(
             jnp.float32) * cfg.voxel_size
 
-        pc = jnp.einsum("tij,tvj->tvi", Rwc[f], p) + twc[f][:, None, :]
-        z = pc[..., 2]
+        # Explicit per-axis multiply-adds instead of a (3,3)-inner batched
+        # einsum: the tiny-K dot pads the MXU 43x while the elementwise
+        # form runs at full VPU rate, and ONE reciprocal replaces the two
+        # divides (probe_phase_b2: geom 1.18 -> 0.98 ms/tile, bit-equal
+        # up to fma association on the same operands).
+        Rp = Rwc[f]  # (TP, 3, 3)
+        tp_ = twc[f]
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        xw = (Rp[:, 0, 0, None] * px + Rp[:, 0, 1, None] * py
+              + Rp[:, 0, 2, None] * pz + tp_[:, 0, None])
+        yw = (Rp[:, 1, 0, None] * px + Rp[:, 1, 1, None] * py
+              + Rp[:, 1, 2, None] * pz + tp_[:, 1, None])
+        z = (Rp[:, 2, 0, None] * px + Rp[:, 2, 1, None] * py
+             + Rp[:, 2, 2, None] * pz + tp_[:, 2, None])
         safe_z = jnp.where(z > 0, z, 1.0)
-        uu = fxv[f][:, None] * pc[..., 0] / safe_z + cxv[f][:, None]
-        vv = fyv[f][:, None] * pc[..., 1] / safe_z + cyv[f][:, None]
+        rz = 1.0 / safe_z
+        uu = fxv[f][:, None] * xw * rz + cxv[f][:, None]
+        vv = fyv[f][:, None] * yw * rz + cyv[f][:, None]
         ui = jnp.floor(uu + 0.5).astype(jnp.int32)
         vi = jnp.floor(vv + 0.5).astype(jnp.int32)
         in_img = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
@@ -456,6 +487,19 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
             y0 = jnp.clip(ymin, 0, H - PS)
             x0 = jnp.clip(xmin, 0, W - PS)
 
+            def pallas_lookup():
+                from mq3d_tpu.ops.tsdf_pallas import patch_lookup
+
+                starts = jnp.stack([f, y0, x0], axis=1)
+                patch = jax.vmap(
+                    lambda st: jax.lax.dynamic_slice(
+                        depth, (st[0], st[1], st[2]), (1, PS, PS)
+                    )[0]
+                )(starts)  # (TP, PS, PS)
+                return patch_lookup(
+                    patch, vi - y0[:, None], ui - x0[:, None],
+                    interpret=not on_tpu)
+
             def onehot_lookup():
                 starts = jnp.stack([f, y0, x0], axis=1)
                 patch = jax.vmap(
@@ -465,6 +509,15 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
                 )(starts)  # (TP, PS, PS)
                 io = jnp.arange(PS, dtype=jnp.int32)
                 hi = jax.lax.Precision.HIGHEST
+                # Per-operand precision on the patch x one-hot dot: the
+                # one-hot operand is exactly representable in a single
+                # bf16 pass (values 0/1), only the patch needs the f32
+                # decomposition.  Empirically (probe_phase_b2/b3, real
+                # chip, these exact shapes) (DEFAULT, HIGHEST) in THIS
+                # argument order is bit-exact vs the gather truth while
+                # (HIGHEST, DEFAULT) rounds the patch — XLA swaps the
+                # lowered dot's operand order vs the einsum's.
+                p1 = (jax.lax.Precision.DEFAULT, hi)
                 Vv = vi.shape[1]
                 # 4 V-chunks bound the materialized one-hots to ~PS*Vv/4
                 # lanes per pair and are the probe's measured-exact form.
@@ -477,7 +530,7 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
                     oh_x = (xr[:, k] - x0[:, None])[..., None] == io
                     tmp = jnp.einsum(
                         "bpq,bvq->bvp", patch,
-                        oh_x.astype(jnp.float32), precision=hi,
+                        oh_x.astype(jnp.float32), precision=p1,
                     )
                     outs.append(jnp.einsum(
                         "bvp,bvp->bv", oh_y.astype(jnp.float32), tmp,
@@ -485,7 +538,9 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
                     ))
                 return jnp.stack(outs, axis=1).reshape(TP, Vv)
 
-            d = jax.lax.cond(over, flat_lookup, onehot_lookup)
+            d = jax.lax.cond(
+                over, flat_lookup,
+                pallas_lookup if use_pallas else onehot_lookup)
 
         ok = in_img & (d > 0) & (d <= cfg.depth_max) & ok_pair[:, None]
         sdf = d - z

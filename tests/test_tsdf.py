@@ -392,7 +392,7 @@ def test_onehot_depth_lookup_bit_identical(patch, scene):
     T_wc = ds.transforms.extrinsics_wc
 
     vols = {}
-    for lookup in ("flat", "onehot"):
+    for lookup in ("flat", "onehot", "pallas"):
         cfg = TSDFConfig(
             voxel_size=0.05,
             block_resolution=16,
@@ -406,15 +406,17 @@ def test_onehot_depth_lookup_bit_identical(patch, scene):
         v = TSDFVolume(cfg)
         v.integrate(depth, K, T_wc, valid)
         vols[lookup] = v
-    f, o = vols["flat"], vols["onehot"]
-    assert int(f.n_active) == int(o.n_active)
+    f = vols["flat"]
     n = int(f.n_active)
-    np.testing.assert_array_equal(
-        np.asarray(f.state.weight[:n]), np.asarray(o.state.weight[:n])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(f.state.tsdf[:n]), np.asarray(o.state.tsdf[:n])
-    )
+    for other in ("onehot", "pallas"):
+        o = vols[other]
+        assert int(f.n_active) == int(o.n_active), other
+        np.testing.assert_array_equal(
+            np.asarray(f.state.weight[:n]), np.asarray(o.state.weight[:n])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f.state.tsdf[:n]), np.asarray(o.state.tsdf[:n])
+        )
 
 
 def _overflow_inputs():

@@ -32,7 +32,9 @@ faulthandler.dump_traceback_later(1800, exit=True)
 
 import bench  # noqa: E402
 
-CH = bench.CHUNK  # 20
+import os  # noqa: E402
+
+CH = int(os.environ.get("MQ3D_PROBE_CHUNK", bench.CHUNK))  # default 20
 
 
 def stage(depth, K, T_wc, valid, n_frames, scan):
