@@ -413,8 +413,16 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
     # cfg is static and jit caches per backend, so "auto" resolves here.
     PS = cfg.onehot_patch
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = cfg.depth_lookup == "pallas"
-    use_onehot = use_pallas or cfg.depth_lookup == "onehot" or (
+    # "pallas" (ops/tsdf_pallas.py) is bit-identical and wins on paper
+    # (V row-gathers instead of V*PS^2 one-hot MACs), but THIS toolchain's
+    # Mosaic cannot lower any vector-indexed gather — jnp.take on a 2-D
+    # VMEM operand dies in _convert_helper with a RecursionError
+    # (2026-08-21), same family as the 1-D "Only 2D gather is supported"
+    # rejection that blocked the round-2 port.  Route TPU traces to the
+    # one-hot MXU form; "pallas" stays exercised on CPU/interpret by the
+    # test suite so the kernel is ready when the toolchain catches up.
+    use_pallas = cfg.depth_lookup == "pallas" and not on_tpu
+    use_onehot = use_pallas or cfg.depth_lookup in ("onehot", "pallas") or (
         cfg.depth_lookup == "auto" and on_tpu
     )
     if min(H, W) < PS:  # image smaller than a patch: gather is fine
@@ -424,8 +432,7 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
 
     n_tiles_dyn = (n_pairs + TP - 1) // TP
 
-    def tile_body(t, carry):
-        sums, cnts = carry
+    def tile_body(t, acc):
         t_clamped = jnp.minimum(t, n_tiles - 1)
         codes = jax.lax.dynamic_slice(pair_codes, (t_clamped * TP,), (TP,))
         ok_pair = (codes < P) & (t < n_tiles_dyn)
@@ -468,24 +475,35 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
             d = flat_lookup()
         else:
             # One-hot patch lookup: each pair's in-image voxels project into
-            # a bbox (perspective projection of a convex cube attains its uv
-            # extrema at the corners; measured p99.9 footprint on the bench
-            # capture is 46 px, tools/probe_footprints.py).  Slice a PSxPS
-            # patch per pair and contract it with one-hot row/col selectors
-            # — two MXU matmuls instead of a 2.1M-index serial gather.
-            # Exact: each product is 1.0*d or 0.0*d, and HIGHEST keeps the
-            # f32 operands unrounded.  Out-of-patch voxels read 0.0 and are
-            # precisely the voxels `ok` masks — unless a pair's footprint
-            # exceeds PS, which the cond detects and routes the whole tile
+            # a patch anchored at the projected BLOCK CENTER (measured
+            # p99.9 footprint on the bench capture is 46 px < PS=64,
+            # tools/probe_footprints.py; the center anchor replaces the
+            # round-5-measured 4 full-(TP,V) bbox min/max reductions with
+            # (TP,)-cheap center math + ONE fused any-reduce).  Slice a
+            # PSxPS patch per pair and contract it with one-hot row/col
+            # selectors — two MXU matmuls instead of a 2.1M-index serial
+            # gather.  Exact: each product is 1.0*d or 0.0*d, HIGHEST (and
+            # the probed per-operand form) keeps the f32 operands
+            # unrounded, and out-of-patch voxels read 0.0 — precisely the
+            # voxels `ok` masks — unless some in-image voxel falls outside
+            # its pair's patch (skewed/oversized footprint, center behind
+            # the camera), which `over` detects and routes the whole tile
             # to the gather.
-            big = jnp.int32(1 << 20)
-            ymin = jnp.min(jnp.where(in_img, vi, big), axis=1)
-            xmin = jnp.min(jnp.where(in_img, ui, big), axis=1)
-            ymax = jnp.max(jnp.where(in_img, vi, -big), axis=1)
-            xmax = jnp.max(jnp.where(in_img, ui, -big), axis=1)
-            over = jnp.any((ymax - ymin >= PS) | (xmax - xmin >= PS))
-            y0 = jnp.clip(ymin, 0, H - PS)
-            x0 = jnp.clip(xmin, 0, W - PS)
+            ctr = (bc.astype(jnp.float32) + 0.5) * (R * cfg.voxel_size)
+            cxw = (Rp[:, 0, 0] * ctr[:, 0] + Rp[:, 0, 1] * ctr[:, 1]
+                   + Rp[:, 0, 2] * ctr[:, 2] + tp_[:, 0])
+            cyw = (Rp[:, 1, 0] * ctr[:, 0] + Rp[:, 1, 1] * ctr[:, 1]
+                   + Rp[:, 1, 2] * ctr[:, 2] + tp_[:, 1])
+            czw = (Rp[:, 2, 0] * ctr[:, 0] + Rp[:, 2, 1] * ctr[:, 1]
+                   + Rp[:, 2, 2] * ctr[:, 2] + tp_[:, 2])
+            crz = 1.0 / jnp.where(czw > 0, czw, 1.0)
+            cu = jnp.floor(fxv[f] * cxw * crz + cxv[f] + 0.5).astype(jnp.int32)
+            cv = jnp.floor(fyv[f] * cyw * crz + cyv[f] + 0.5).astype(jnp.int32)
+            y0 = jnp.clip(cv - PS // 2, 0, H - PS)
+            x0 = jnp.clip(cu - PS // 2, 0, W - PS)
+            in_patch = ((vi >= y0[:, None]) & (vi < y0[:, None] + PS)
+                        & (ui >= x0[:, None]) & (ui < x0[:, None] + PS))
+            over = jnp.any(in_img & ~in_patch)
 
             def pallas_lookup():
                 from mq3d_tpu.ops.tsdf_pallas import patch_lookup
@@ -547,14 +565,17 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
         ok &= sdf >= -cfg.trunc
         obs = jnp.minimum(sdf, cfg.trunc) * inv_trunc
         tgt = jnp.where(ok_pair, widx, M)
-        sums = sums.at[tgt].add(jnp.where(ok, obs, 0.0))
-        cnts = cnts.at[tgt].add(ok.astype(jnp.float32))
-        return (sums, cnts)
+        # ONE scatter-add of stacked (obs, count) planes instead of two:
+        # each scatter pays its per-index walk once (same accumulation
+        # values, same per-bucket order -> bit-identical sums/cnts).
+        upd = jnp.stack([jnp.where(ok, obs, 0.0), ok.astype(jnp.float32)],
+                        axis=1)
+        return acc.at[tgt].add(upd)
 
-    sums0 = jnp.zeros((M + 1, cfg.r3), jnp.float32)
-    cnts0 = jnp.zeros((M + 1, cfg.r3), jnp.float32)
+    acc0 = jnp.zeros((M + 1, 2, cfg.r3), jnp.float32)
     if cfg.tile_loop == "static":
-        return jax.lax.fori_loop(0, n_tiles, tile_body, (sums0, cnts0))
+        acc = jax.lax.fori_loop(0, n_tiles, tile_body, acc0)
+        return acc[:, 0], acc[:, 1]
 
     # Data-dependent while over GROUPS of unrolled tiles: a bare while over
     # single tiles measured 3x slower than a static fori (defeats XLA's
@@ -571,9 +592,8 @@ def _integrate_pairs(cfg: TSDFConfig, depth, intrinsics, extrinsics_wc,
             acc = tile_body(g * group + k, acc)
         return (g + 1, acc)
 
-    _, (sums, cnts) = jax.lax.while_loop(
-        tile_cond, tile_step, (jnp.int32(0), (sums0, cnts0)))
-    return sums, cnts
+    _, acc = jax.lax.while_loop(tile_cond, tile_step, (jnp.int32(0), acc0))
+    return acc[:, 0], acc[:, 1]
 
 
 def _merge_window(cfg: TSDFConfig, tsdf_arr, weight_arr, active_slots,

@@ -87,8 +87,12 @@ def main():
     from functools import partial
 
     depth, K, T_wc, valid, gt, scene_cfg = bench.make_capture()
-    cfg_t = __import__("tools.probe_integrate_decomp", fromlist=["x"]).make_cfg()
-    print("[probe] capture ready", flush=True)
+    over = {}
+    if os.environ.get("MQ3D_PROBE_LOOKUP"):
+        over["depth_lookup"] = os.environ["MQ3D_PROBE_LOOKUP"]
+    cfg_t = __import__(
+        "tools.probe_integrate_decomp", fromlist=["x"]).make_cfg(**over)
+    print(f"[probe] capture ready (lookup={cfg_t.depth_lookup})", flush=True)
 
     from mq3d_tpu.ops.tsdf import TSDFState, create_state
     from mq3d_tpu.utils.host import fetch_int
