@@ -147,6 +147,7 @@ class TestEngine:
 
 
 class TestHmdScript:
+    @pytest.mark.slow
     def test_artifacts(self, hmd_df, tmp_path):
         from scripts.analyze_hmd_motion_stats import main
 
@@ -191,6 +192,7 @@ class TestHmdScript:
 
 
 class TestQualityScripts:
+    @pytest.mark.slow
     def test_mesh_quality_stats(self, quality_df, tmp_path):
         from scripts.analyze_mesh_quality_stats import main
 
@@ -224,6 +226,7 @@ class TestQualityScripts:
         html = out.read_text()
         assert "base64" in html and "Summary Table" in html
 
+    @pytest.mark.slow
     def test_comprehensive_analysis(self, quality_df, tmp_path):
         from scripts.generate_comprehensive_quality_analysis import main
 
@@ -420,6 +423,7 @@ class TestComputeToAnalyzeLoop:
             pd.DataFrame(rows).to_csv(d / f"{stem}.csv", index=False)
         return d
 
+    @pytest.mark.slow
     def test_hmd_loop(self, tmp_path):
         import runpy
         import sys
@@ -461,6 +465,7 @@ class TestComputeToAnalyzeLoop:
         res = pd.read_csv(out / "statistical_results.csv")
         assert len(res) >= 10  # all schema metrics were present
 
+    @pytest.mark.slow
     def test_controller_loop(self, tmp_path):
         import runpy
         import sys

@@ -185,6 +185,7 @@ class TestPyramidScales:
     """pyramid_scales trades serial march depth against static width; every
     scale set must hold the same accuracy (ops/raycast.py)."""
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("scales", [(8, 2, 1), (8, 1)])
     def test_scale_sets_match_default(self, loaded, scales):
         from mq3d_tpu.ops.raycast import raycast_depth_batch

@@ -170,6 +170,7 @@ class TestVoroNN:
             assert abs(b.fitness - a.fitness) < 1e-5
             assert a.fitness > 0.9
 
+    @pytest.mark.slow
     def test_degenerate_extent_falls_back_to_grid(self, rng):
         """A tiny radius over a huge extent would densify past the cell
         cap; the builder returns the exact CSR grid instead."""
@@ -422,6 +423,7 @@ class TestBatchedPoseGraphEdges:
     """compute_pcd_pair_edges_batched produces the same edge set and
     transforms as the serial per-pair path."""
 
+    @pytest.mark.slow
     def test_equivalence(self, tmp_path, rng):
         from mq3d_tpu.config.configs import FragmentPoseRefinementConfig
         from mq3d_tpu.models.side import Side

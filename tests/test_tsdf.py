@@ -320,7 +320,9 @@ class TestPartialTiles:
     points TB=512).  A loaded volume has block_count == exact saved count, so
     floor division dropped up to TB-1 blocks' surface (ADVICE r1, high)."""
 
-    @pytest.mark.parametrize("n_blocks", [129, 513])
+    @pytest.mark.parametrize(
+        "n_blocks",
+        [129, pytest.param(513, marks=pytest.mark.slow)])
     def test_device_mesh_covers_all_blocks(self, n_blocks, tmp_path):
         vol = _plane_volume(n_blocks)
         host = vol.extract_triangle_mesh(1.5, device=False)
