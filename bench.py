@@ -425,22 +425,39 @@ def bench_e2e(tmp="/tmp/bench_e2e"):
 
 def _probe_device():
     """The tunneled TPU backend can HANG init for ~25 min when the terminal
-    is wedged (observed 2026-08-17); probe it in a killable subprocess and
-    fall back to CPU so the bench always emits a valid JSON line."""
+    is wedged (observed 2026-08-17), and even after init the first COMPUTE
+    round-trip can hang for minutes after a previous client exits (observed
+    repeatedly 2026-08-21).  Probe a real tiny computation in a killable
+    subprocess (tools/tpu_health.py — self-deadlines, exits cleanly) and
+    RETRY across the typical wedge-recovery window before falling back to
+    CPU, so the bench records TPU numbers whenever the chip is reachable
+    and still always emits a valid JSON line."""
     import subprocess
+    import time as _time
 
     if os.environ.get("MQ3D_FORCE_CPU"):
         return
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=300, check=True, capture_output=True,
-        )
-    except Exception as e:
-        print(f"[bench] TPU probe failed ({type(e).__name__}); "
-              "falling back to CPU", file=sys.stderr, flush=True)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["MQ3D_FORCE_CPU"] = "1"
+    for attempt in range(4):
+        try:
+            r = subprocess.run(
+                [sys.executable, "tools/tpu_health.py", "240"],
+                timeout=300, capture_output=True, text=True,
+            )
+            if "HEALTHY" in (r.stdout or ""):
+                if attempt:
+                    print(f"[bench] TPU healthy after {attempt} retries",
+                          file=sys.stderr, flush=True)
+                return
+        except Exception:
+            pass
+        print(f"[bench] TPU probe attempt {attempt + 1}/4 failed "
+              "(wedged tunnel?); waiting before retry",
+              file=sys.stderr, flush=True)
+        _time.sleep(150)
+    print("[bench] TPU unreachable after 4 probes; falling back to CPU",
+          file=sys.stderr, flush=True)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["MQ3D_FORCE_CPU"] = "1"
 
 
 def main():
